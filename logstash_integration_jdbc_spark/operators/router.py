@@ -1,0 +1,103 @@
+"""Tag/predicate routing — the reference's output fan-out.
+
+Logstash routes on tags in the output block
+(``if "_jdbcstaticdefaultsused" in [tags] { ... }``,
+/root/reference/docs/filter-jdbc_static.asciidoc:135-140) and gates
+downstream decoration on ``filter_matched`` only when all lookups
+succeeded (jdbc_static.rb:161-164). Here a Router splits one enriched
+DataFrame into per-sink DataFrames and writes each to a parquet/Iceberg
+sink partitioned by a time bucket, with salted repartitioning for hot
+conv_id keys (north_rule skew clause).
+
+Routing modes:
+- ``exclusive=True`` (default): first matching route wins, remainder
+  falls through to ``default_sink`` — Logstash if/elsif/else semantics.
+- ``exclusive=False``: an event lands in every matching sink — multiple
+  independent `if` blocks.
+
+Scale note: each sink write re-reads the enriched frame's lineage unless
+it is cached/persisted once; ``Router.write_all`` persists the enriched
+frame, fans out filters (cheap, codegen'd), and writes each partition-
+pruned sink. One shuffle per sink (the salted repartition) — unavoidable
+if sinks need bounded file counts; skew is neutralized by the salt.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from logstash_integration_jdbc_spark.operators.skew import salted_repartition
+
+
+@dataclass
+class Route:
+    name: str
+    condition: Column
+
+
+class Router:
+    def __init__(self, routes: list[Route], default_sink: str | None = "unmatched",
+                 exclusive: bool = True) -> None:
+        names = [r.name for r in routes] + ([default_sink] if default_sink else [])
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicate sink names: {names}")
+        self.routes = routes
+        self.default_sink = default_sink
+        self.exclusive = exclusive
+
+    def split(self, df: DataFrame) -> dict[str, DataFrame]:
+        """sink name → routed DataFrame (lazy; no action triggered)."""
+        out: dict[str, DataFrame] = {}
+        seen: Column = F.lit(False)
+        for r in self.routes:
+            cond = r.condition & ~seen if self.exclusive else r.condition
+            out[r.name] = df.filter(cond)
+            seen = seen | r.condition
+        if self.default_sink is not None:
+            out[self.default_sink] = df.filter(~seen)
+        return out
+
+    def write_all(
+        self,
+        df: DataFrame,
+        base_dir: str,
+        ts_col: str = "ts",
+        salt_col: str = "conv_id",
+        n_salts: int = 8,
+        fmt: str = "parquet",
+        run_id: str | None = None,
+        already_persisted: bool = False,
+    ) -> dict[str, int]:
+        """Write every sink, hour-partitioned and salt-spread; returns counts.
+
+        Sink layout: ``base_dir/<sink>/ts_hour=YYYY-MM-DD-HH[/run_id=…]``.
+        With ``run_id`` (deterministic per batch, e.g. the starting
+        watermark) and dynamic partition overwrite, a rerun of a failed
+        batch rewrites exactly its own partitions → exactly-once sink
+        contents; successive batches append new run_id partitions.
+        """
+        df = df.withColumn("ts_hour", F.date_format(F.date_trunc("hour", F.col(ts_col)), "yyyy-MM-dd-HH"))
+        part_cols = ["ts_hour"]
+        if run_id is not None:
+            df = df.withColumn("run_id", F.lit(run_id))
+            part_cols.append("run_id")
+        if not already_persisted:
+            df = df.persist()
+        try:
+            counts: dict[str, int] = {}
+            for name, sink_df in self.split(df).items():
+                sink_df = salted_repartition(sink_df, key=salt_col, n_salts=n_salts,
+                                             extra_cols=part_cols)
+                path = os.path.join(base_dir, name)
+                n = sink_df.count()
+                if n > 0:
+                    sink_df.write.mode("overwrite").partitionBy(*part_cols).format(fmt).save(path)
+                counts[name] = n
+            return counts
+        finally:
+            if not already_persisted:
+                df.unpersist()

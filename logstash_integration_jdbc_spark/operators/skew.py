@@ -1,0 +1,43 @@
+"""Skew handling: salted repartitioning for hot keys.
+
+The reference is single-threaded and has no notion of skew; at 10^12
+turns a Zipf-hot ``conv_id`` melts any hash-partitioned exchange. Two
+mitigations, used together:
+
+- AQE skew-join splitting (`spark.sql.adaptive.skewJoin.enabled`, on by
+  default in session.py) handles joins at runtime;
+- explicit salting for writes/repartitions where AQE doesn't apply:
+  partition by ``(extra_cols..., pmod(xxhash64(key, salt_bits), n))`` so
+  one hot key spreads over ``n_salts`` tasks. The salt derives from
+  xxhash64 of the key plus a per-row component, deterministic and
+  RNG-free.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salt_expr(key: str, n_salts: int, row_cols: Sequence[str] = ("turn_idx",)):
+    """Deterministic salt in [0, n_salts): hash of key + row columns."""
+    cols = [F.col(key)] + [F.col(c) for c in row_cols if c != key]
+    return F.pmod(F.xxhash64(*cols), F.lit(n_salts))
+
+
+def salted_repartition(
+    df: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    extra_cols: Sequence[str] = (),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Repartition on (extra_cols, key, salt) — hot keys spread n_salts-wide."""
+    row_cols = [c for c in ("turn_idx", "ts") if c in df.columns]
+    salt = salt_expr(key, n_salts, row_cols).alias("__salt")
+    cols = [F.col(c) for c in extra_cols] + [F.col(key), salt]
+    if num_partitions:
+        return df.repartition(num_partitions, *cols)
+    return df.repartition(*cols)

@@ -1,0 +1,87 @@
+"""Tag-routing fan-out (R4) + loader guard (S9) + skew salting."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from logstash_integration_jdbc_spark.operators.router import Route, Router
+from logstash_integration_jdbc_spark.operators.skew import salted_repartition
+from logstash_integration_jdbc_spark.sources.loader import DimensionLoader, LoaderError
+
+
+@pytest.fixture()
+def tagged(spark):
+    rows = [("c1", 0, ["_default"]), ("c1", 1, []), ("c2", 0, ["_failure"]),
+            ("c2", 1, ["_default", "_failure"])]
+    return spark.createDataFrame(rows, "conv_id string, turn_idx int, tags array<string>")
+
+
+def test_exclusive_first_match_wins(tagged):
+    r = Router([
+        Route("failed", F.array_contains("tags", "_failure")),
+        Route("defaults", F.array_contains("tags", "_default")),
+    ], default_sink="ok")
+    sinks = {k: {(x.conv_id, x.turn_idx) for x in v.collect()} for k, v in r.split(tagged).items()}
+    assert sinks["failed"] == {("c2", 0), ("c2", 1)}
+    assert sinks["defaults"] == {("c1", 0)}  # (c2,1) already claimed by failed
+    assert sinks["ok"] == {("c1", 1)}
+
+
+def test_non_exclusive_multicast(tagged):
+    r = Router([
+        Route("failed", F.array_contains("tags", "_failure")),
+        Route("defaults", F.array_contains("tags", "_default")),
+    ], default_sink=None, exclusive=False)
+    sinks = {k: v.count() for k, v in r.split(tagged).items()}
+    assert sinks == {"failed": 2, "defaults": 2}
+
+
+def test_partition_totals_preserved(tagged):
+    r = Router([Route("d", F.array_contains("tags", "_default"))])
+    assert sum(df.count() for df in r.split(tagged).values()) == tagged.count()
+
+
+def test_duplicate_sink_names_rejected():
+    with pytest.raises(ValueError):
+        Router([Route("a", F.lit(True)), Route("a", F.lit(False))])
+
+
+def test_write_layout_hour_partitioned(spark, tmp_path, transcripts):
+    df = transcripts.limit(2000).withColumn("tags", F.array().cast("array<string>"))
+    r = Router([Route("all", F.lit(True))], default_sink=None)
+    counts = r.write_all(df, str(tmp_path), n_salts=4)
+    assert counts["all"] == 2000
+    parts = os.listdir(str(tmp_path / "all"))
+    assert any(p.startswith("ts_hour=") for p in parts)
+    back = spark.read.parquet(str(tmp_path / "all"))
+    assert back.count() == 2000
+
+
+def test_salted_repartition_spreads_hot_key(spark):
+    df = spark.range(0, 10000).select(
+        F.lit("hot").alias("conv_id"), F.col("id").cast("int").alias("turn_idx")
+    )
+    out = salted_repartition(df, "conv_id", n_salts=8, num_partitions=8)
+    sizes = [r.n for r in out.groupBy(F.spark_partition_id().alias("p"))
+             .agg(F.count(F.lit(1)).alias("n")).collect()]
+    # a plain repartition("conv_id") puts all 10k rows in ONE partition;
+    # salting must spread them across several.
+    assert len(sizes) >= 4
+    assert max(sizes) < 10000 * 0.5
+
+
+def test_loader_guards(spark):
+    empty = DimensionLoader("e", lambda: spark.range(0).selectExpr("id as k"))
+    with pytest.raises(LoaderError, match="0 rows"):
+        empty.get()
+    big = DimensionLoader("b", lambda: spark.range(100).selectExpr("id as k"), max_rows=10)
+    with pytest.raises(LoaderError, match="max_rows"):
+        big.get()
+    ok = DimensionLoader("ok", lambda: spark.range(5).selectExpr("id as k"), max_rows=10)
+    assert ok.get().count() == 5
+    assert ok.reload_count == 1
+    ok.refresh()
+    assert ok.reload_count == 2  # S13 repeated load metric
