@@ -1,0 +1,272 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not in the reference (it has no dedup); required first-class components
+for the 100 TB training-data story. All exact/minhash/ngram paths are
+pure Catalyst expressions (codegen, no Python); simhash uses a
+numpy-vectorized Arrow pandas UDF (bit-twiddling built-ins can't express
+it cleanly).
+
+Scale design notes:
+- exact dedup shuffles on a 256-bit digest of the text, never the text
+  itself — shuffle payload is O(rows·32B) regardless of document size;
+- MinHash+LSH: signatures and band buckets are computed map-side; the
+  only shuffle is the band-bucket exchange (rows×bands short rows), and
+  candidate verification joins only within buckets — the classic
+  near-linear near-dup pipeline (Broder minhash + banding as in the
+  Mining of Massive Datasets formulation);
+- all hash "randomness" is fixed-coefficient universal hashing
+  (a_i·h+b_i mod p) so results are deterministic across runs/clusters.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# Mersenne prime 2^31-1: with 31-bit coefficients and 31-bit-folded
+# shingle hashes, a·h+b < 2^62 stays exact in BIGINT (no silent wrap).
+_P = (1 << 31) - 1
+
+
+def _perm_coeffs(n: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for n universal hash permutations."""
+    coeffs = []
+    x = seed
+    for _ in range(n):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (x % (_P - 1)) + 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = x % _P
+        coeffs.append((a, b))
+    return coeffs
+
+
+# -- exact ----------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                keep: str = "min") -> DataFrame:
+    """Keep one representative row per distinct text (hash-grouped).
+
+    Representative = min (default) or max id — deterministic. Returns the
+    full rows of the representatives.
+    """
+    h = F.sha2(F.col(text_col), 256).alias("__h")
+    agg = F.min if keep == "min" else F.max
+    reps = df.select(h, F.col(id_col)).groupBy("__h").agg(agg(id_col).alias(id_col))
+    return df.join(reps.select(id_col), id_col, "left_semi")
+
+
+def dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-dup clusters: (rep_id, n_dups) for groups with >1 member."""
+    return (
+        df.select(F.sha2(F.col(text_col), 256).alias("__h"), F.col(id_col))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+        .drop("__h")
+    )
+
+
+# -- shingling ------------------------------------------------------------
+
+def shingle_hashes(text_col: Column, n: int = 3) -> Column:
+    """Distinct 64-bit hashes of word n-gram shingles (JVM-side).
+
+    words → sliding n-grams (concat_ws of slices) → xxhash64 → distinct.
+    """
+    words = F.split(F.trim(F.lower(text_col)), r"\s+")
+    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, n))),
+    )
+    # fewer than n words → fall back to hashing the whole text as one shingle
+    grams = F.when(k > 0, grams).otherwise(F.array(F.xxhash64(text_col)))
+    return F.array_distinct(grams)
+
+
+# -- MinHash + LSH ---------------------------------------------------------
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """num_hashes-wide minhash signature as array<bigint>.
+
+    Each permutation i: min over shingles of (a_i·h + b_i) mod P, with h
+    first folded into [0, P). Pure `transform`+`array_min` expressions —
+    whole-stage codegen, zero Python.
+    """
+    def perm(a: int, b: int):
+        return lambda h: (F.pmod(h, F.lit(_P)) * F.lit(a) + F.lit(b)) % F.lit(_P)
+
+    sigs = [
+        F.array_min(F.transform(shingles, perm(a, b)))
+        for a, b in _perm_coeffs(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shingle: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) via LSH banding.
+
+    bands×rows = num_hashes; a pair is a candidate iff some band's rows
+    agree exactly. Returns (id_a, id_b, jaccard) with exact shingle
+    jaccard verified (so downstream filters by threshold; no false
+    positives survive).
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col),
+        shingle_hashes(F.col(text_col), n_shingle).alias("__sh"),
+    ).withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+
+    band_keys = base.select(
+        id_col,
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(F.concat_ws(",", *[
+                    F.col("__sig")[b * rows_per_band + r].cast("string")
+                    for r in range(rows_per_band)
+                ]))
+                for b in range(bands)
+            ])
+        ).alias("__band", "__bucket"),
+    )
+    a = band_keys.alias("a")
+    b_ = band_keys.alias("b")
+    cand = (
+        a.join(b_, (F.col("a.__band") == F.col("b.__band"))
+               & (F.col("a.__bucket") == F.col("b.__bucket"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sh = base.select(F.col(id_col), F.col("__sh"))
+    return (
+        cand.join(sh.withColumnsRenamed({id_col: "id_a", "__sh": "__sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "__sh": "__sh_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__sh_a", "__sh_b"))
+            / F.size(F.array_union("__sh_a", "__sh_b")),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.8,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n_shingle: int = 3) -> DataFrame:
+    """Near-dup pairs with exact n-gram jaccard ≥ threshold (LSH-pruned)."""
+    return minhash_lsh_candidates(df, id_col, text_col, n_shingle).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# -- SimHash ----------------------------------------------------------------
+
+_SIMHASH_UDF = None
+
+
+def _get_simhash_udf():
+    """Lazily build the simhash pandas UDF (needs an active session)."""
+    global _SIMHASH_UDF
+    if _SIMHASH_UDF is not None:
+        return _SIMHASH_UDF
+
+    @pandas_udf("long")
+    def _simhash64(words: pd.Series) -> pd.Series:
+        """64-bit simhash of a token array column (numpy-vectorized batch)."""
+        import numpy as np
+
+        out = np.zeros(len(words), dtype=np.int64)
+        for i, toks in enumerate(words):
+            if toks is None or len(toks) == 0:
+                continue
+            # deterministic 64-bit token hashes (FNV-1a, pure python ints)
+            acc = np.zeros(64, dtype=np.int64)
+            for t in toks:
+                h = 0xCBF29CE484222325
+                for ch in t.encode("utf-8"):
+                    h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+                bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8))
+                acc += np.where(bits.astype(np.int64) > 0, 1, -1)
+            sig = np.packbits((acc > 0).astype(np.uint8)).tobytes()
+            out[i] = int.from_bytes(sig, "big", signed=True)
+        return pd.Series(out)
+
+    _SIMHASH_UDF = _simhash64
+    return _SIMHASH_UDF
+
+
+def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return df.withColumn(out_col, _get_simhash_udf()(words))
+
+
+def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance ≤ max_hamming.
+
+    Scale path: block on 4 16-bit chunks (pigeonhole — any pair within
+    hamming ≤ 3 agrees on ≥1 chunk), join within blocks, verify with
+    bit_count(xor) — all JVM-side after the signature.
+    """
+    sh = simhash(df.select(id_col, text_col), text_col).select(id_col, "simhash")
+    chunks = sh.select(
+        id_col, "simhash",
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("simhash"), k * 16).bitwiseAND(F.lit(0xFFFF))
+            for k in range(4)
+        ])).alias("__chunk_idx", "__chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(b, (F.col("a.__chunk_idx") == F.col("b.__chunk_idx"))
+               & (F.col("a.__chunk") == F.col("b.__chunk"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# -- embedding near-dup -------------------------------------------------------
+
+def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        min_cosine: float = 0.95) -> DataFrame:
+    """Pairs with cosine ≥ min_cosine (exact, bucket-pruned by sign-LSH).
+
+    Uses 16 deterministic hyperplane sign bits to prune the self-join,
+    then verifies exact cosine with zip_with/aggregate — no Python.
+    For very high thresholds near-identical vectors share all sign bits
+    with overwhelming probability; we join on the full 16-bit sketch.
+    """
+    from logstash_integration_jdbc_spark.operators.similarity import (
+        cosine_expr,
+        hyperplane_sketch,
+    )
+
+    base = df.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "__sketch", hyperplane_sketch(F.col(vec_col), bits=16)
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, (F.col("a.__sketch") == F.col("b.__sketch"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )

@@ -48,6 +48,7 @@ class Router:
         self.routes = routes
         self.default_sink = default_sink
         self.exclusive = exclusive
+        self.last_observed: dict[str, object] = {}
 
     def split(self, df: DataFrame) -> dict[str, DataFrame]:
         """sink name → routed DataFrame (lazy; no action triggered)."""
@@ -61,6 +62,22 @@ class Router:
             out[self.default_sink] = df.filter(~seen)
         return out
 
+    def sink_expr(self) -> Column:
+        """Exclusive routing as one CASE column (first match wins).
+
+        This is the single-pass form: instead of N filtered writes, the
+        whole fan-out becomes ONE write partitioned by the sink column —
+        one shuffle, one pass, any number of sinks. Only valid for
+        exclusive routing (an event lands in exactly one sink).
+        """
+        if not self.exclusive:
+            raise ValueError("sink_expr requires exclusive routing")
+        expr = None
+        for r in self.routes:
+            expr = F.when(r.condition, r.name) if expr is None else expr.when(r.condition, r.name)
+        default = self.default_sink if self.default_sink is not None else self.routes[-1].name
+        return expr.otherwise(F.lit(default)) if expr is not None else F.lit(default)
+
     def write_all(
         self,
         df: DataFrame,
@@ -71,6 +88,7 @@ class Router:
         fmt: str = "parquet",
         run_id: str | None = None,
         already_persisted: bool = False,
+        extra_observe: dict[str, Column] | None = None,
     ) -> dict[str, int]:
         """Write every sink, hour-partitioned and salt-spread; returns counts.
 
@@ -85,14 +103,56 @@ class Router:
         if run_id is not None:
             df = df.withColumn("run_id", F.lit(run_id))
             part_cols.append("run_id")
+
+        if self.exclusive:
+            # single-pass fan-out: ONE salted shuffle + ONE write
+            # partitioned by (sink, ts_hour[, run_id]). Per-sink counts
+            # ride along as observed metrics on the write action itself —
+            # no second pass over the data.
+            from pyspark.sql import Observation
+
+            names = [r.name for r in self.routes] + (
+                [self.default_sink] if self.default_sink else []
+            )
+            routed = df.withColumn("sink", self.sink_expr())
+            obs = Observation()
+            exprs = [F.sum(F.when(F.col("sink") == n, 1).otherwise(0)).alias(n)
+                     for n in names]
+            for alias, col in (extra_observe or {}).items():
+                exprs.append(col.alias(alias))
+            routed = routed.observe(obs, *exprs)
+            all_parts = ["sink"] + part_cols
+            out = salted_repartition(routed, key=salt_col, n_salts=n_salts,
+                                     extra_cols=all_parts)
+            out.write.mode("overwrite").partitionBy(*all_parts).format(fmt).save(base_dir)
+            try:
+                got = dict(obs.get)
+            except Exception:
+                # Observation.get raises on degenerate plans (e.g. an
+                # empty incremental batch writes zero partitions and the
+                # metrics row never materializes) — fall back to one
+                # aggregation pass, which is cheap exactly in those cases.
+                agg = routed.groupBy().agg(
+                    *[F.sum(F.when(F.col("sink") == n, 1).otherwise(0)).alias(n)
+                      for n in names],
+                    *[c.alias(a) for a, c in (extra_observe or {}).items()],
+                ).collect()[0]
+                got = agg.asDict()
+            counts = {n: int(got.get(n) or 0) for n in names}
+            if extra_observe:
+                self.last_observed = {k: got.get(k) for k in extra_observe}
+            return counts
+
+        # multicast (non-exclusive): per-sink writes are unavoidable —
+        # an event may land in several sinks.
         if not already_persisted:
             df = df.persist()
         try:
-            counts: dict[str, int] = {}
+            counts = {}
             for name, sink_df in self.split(df).items():
                 sink_df = salted_repartition(sink_df, key=salt_col, n_salts=n_salts,
                                              extra_cols=part_cols)
-                path = os.path.join(base_dir, name)
+                path = os.path.join(base_dir, f"sink={name}")
                 n = sink_df.count()
                 if n > 0:
                     sink_df.write.mode("overwrite").partitionBy(*part_cols).format(fmt).save(path)

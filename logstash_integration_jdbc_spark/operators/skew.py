@@ -38,6 +38,11 @@ def salted_repartition(
     row_cols = [c for c in ("turn_idx", "ts") if c in df.columns]
     salt = salt_expr(key, n_salts, row_cols).alias("__salt")
     cols = [F.col(c) for c in extra_cols] + [F.col(key), salt]
-    if num_partitions:
-        return df.repartition(num_partitions, *cols)
-    return df.repartition(*cols)
+    if num_partitions is None:
+        # An explicit count pins the exchange: repartition(cols) without N
+        # lets AQE rebalance to ~advisory-sized (64 MB) partitions, which
+        # caps downstream stage parallelism at data-size/64MB tasks — on a
+        # wide executor that leaves most cores idle (measured: a 519 MB
+        # write ran ~10 tasks on 32 cores). 2× cores keeps every core fed.
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+    return df.repartition(num_partitions, *cols)

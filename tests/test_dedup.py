@@ -1,0 +1,95 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, embedding."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from logstash_integration_jdbc_spark.operators.dedup import (
+    dup_groups,
+    embedding_near_dups,
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dups,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog and then runs far away "
+        "into the deep green forest to find some food for the long winter")
+
+
+@pytest.fixture()
+def docs(spark):
+    near = BASE.replace("green", "blue")  # one-word change → high jaccard
+    rows = [
+        (0, BASE), (1, BASE),             # exact dups
+        (2, near),                         # near dup of 0/1
+        (3, "completely different text about spark query planning and shuffles"),
+        (4, "yet another unrelated document mentioning broadcast joins only"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    kept = exact_dedup(docs)
+    assert sorted(r.doc_id for r in kept.collect()) == [0, 2, 3, 4]
+    groups = dup_groups(docs).collect()
+    assert len(groups) == 1 and groups[0].rep_id == 0 and groups[0].n_dups == 2
+
+
+def test_minhash_finds_exact_and_near(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in minhash_lsh_candidates(docs).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 < pairs[(0, 2)] < 1.0
+    # unrelated docs must not pair with the near-dup cluster
+    assert (0, 3) not in pairs and (3, 4) not in pairs
+
+
+def test_minhash_jaccard_matches_python_oracle(docs):
+    def shingles(t, n=3):
+        w = t.lower().split()
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+    a, c = shingles(BASE), shingles(BASE.replace("green", "blue"))
+    expected = len(a & c) / len(a | c)
+    got = {(r.id_a, r.id_b): r.jaccard for r in minhash_lsh_candidates(docs).collect()}
+    assert got[(0, 2)] == pytest.approx(expected)
+
+
+def test_ngram_jaccard_threshold(docs):
+    hits = ngram_jaccard_pairs(docs, threshold=0.99)
+    assert {(r.id_a, r.id_b) for r in hits.collect()} == {(0, 1)}
+
+
+def test_simhash_identical_and_near(docs):
+    sh = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert sh[0] == sh[1]
+    pairs = {(r.id_a, r.id_b): r.hamming for r in
+             simhash_near_dups(docs, max_hamming=10).collect()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs and 0 < pairs[(0, 2)] <= 10
+    assert (3, 4) not in pairs
+
+
+def test_embedding_near_dups(spark):
+    v = [1.0] * 8 + [0.0] * 8
+    near = [1.0] * 8 + [0.01] * 8
+    ortho = [0.0] * 8 + [1.0] * 8
+    df = spark.createDataFrame(
+        [(0, v), (1, near), (2, ortho)], "vec_id bigint, embedding array<float>"
+    )
+    pairs = {(r.id_a, r.id_b): r.cosine for r in
+             embedding_near_dups(df, min_cosine=0.95).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_dedup_on_real_documents(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # duplicate the table with shifted ids → every doc has one exact dup
+    shifted = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    both = docs.unionByName(shifted)
+    kept = exact_dedup(both)
+    assert kept.count() == docs.count()
+    assert kept.agg(F.max("doc_id")).first()[0] < 1_000_000  # min-id wins

@@ -76,7 +76,7 @@ class TestOracleEquality:
         for sink in ("matched", "defaults_used", "parse_miss"):
             got = {
                 (r.conv_id, r.turn_idx)
-                for r in spark.read.parquet(os.path.join(cfg.out_dir, "sinks", sink))
+                for r in spark.read.parquet(os.path.join(cfg.out_dir, "sinks", f"sink={sink}"))
                 .select("conv_id", "turn_idx").collect()
             }
             exp = set(map(tuple, con.execute(
@@ -86,7 +86,7 @@ class TestOracleEquality:
     def test_hourly_aggregates_match_oracle(self, run, spark, fixture_dir):
         cfg, _ = run
         con = oracle_con(fixture_dir)
-        agg = spark.read.parquet(os.path.join(cfg.out_dir, "agg", "matched"))
+        agg = spark.read.parquet(os.path.join(cfg.out_dir, "agg", "sink=matched"))
         got = {(r.role, r.tool, r.ts_hour): r.n_turns for r in agg.collect()}
         exp = {
             (role, tool, hour): n
@@ -102,7 +102,7 @@ class TestOracleEquality:
         con = oracle_con(fixture_dir)
         got = [
             (r.conv_id, r.turn_idx, r.text)
-            for r in spark.read.parquet(os.path.join(cfg.out_dir, "sinks", "matched"))
+            for r in spark.read.parquet(os.path.join(cfg.out_dir, "sinks", "sink=matched"))
             .select("conv_id", "turn_idx", "text")
             .orderBy("conv_id", "turn_idx").collect()
         ]
@@ -114,7 +114,7 @@ class TestOracleEquality:
 
     def test_enriched_fields_match_dim(self, run, spark, fixture_dir):
         cfg, _ = run
-        matched = spark.read.parquet(os.path.join(cfg.out_dir, "sinks", "matched"))
+        matched = spark.read.parquet(os.path.join(cfg.out_dir, "sinks", "sink=matched"))
         sample = matched.select("tool_call", F.col("tool_info")[0].alias("ti")).limit(200).collect()
         con = oracle_con(fixture_dir)
         dim = dict(con.execute("SELECT tool, tool_name FROM tool_dim").fetchall())
@@ -157,7 +157,7 @@ class TestResume:
         # that were visible at their run (no duplicates, none lost)
         total = sum(
             spark.read.parquet(p).count()
-            for p in glob.glob(os.path.join(out, "sinks", "*"))
+            for p in glob.glob(os.path.join(out, "sinks", "sink=*"))
         )
         assert total == n_early + n_late
 
@@ -178,6 +178,6 @@ class TestResume:
         cfg2 = PipelineConfig(**{**cfg.__dict__, "clean_run": False})
         m2 = run_pipeline(spark, cfg2)
         assert m1["run_id"] == m2["run_id"]
-        matched = spark.read.parquet(os.path.join(out, "sinks", "matched"))
+        matched = spark.read.parquet(os.path.join(out, "sinks", "sink=matched"))
         assert matched.count() == m1["sinks"]["matched"]
         assert matched.groupBy("conv_id", "turn_idx").count().filter("count > 1").count() == 0

@@ -54,9 +54,9 @@ def test_write_layout_hour_partitioned(spark, tmp_path, transcripts):
     r = Router([Route("all", F.lit(True))], default_sink=None)
     counts = r.write_all(df, str(tmp_path), n_salts=4)
     assert counts["all"] == 2000
-    parts = os.listdir(str(tmp_path / "all"))
+    parts = os.listdir(str(tmp_path / "sink=all"))
     assert any(p.startswith("ts_hour=") for p in parts)
-    back = spark.read.parquet(str(tmp_path / "all"))
+    back = spark.read.parquet(str(tmp_path / "sink=all"))
     assert back.count() == 2000
 
 

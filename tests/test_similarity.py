@@ -1,0 +1,79 @@
+"""ANN / similarity search: brute-force exactness vs numpy, LSH/IVF recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from logstash_integration_jdbc_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+    lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return (emb.limit(5)
+            .selectExpr("vec_id as query_id", "embedding"))
+
+
+def numpy_topk(emb_rows, q_rows, k):
+    M = np.array([r.embedding for r in emb_rows], dtype=np.float64)
+    ids = np.array([r.vec_id for r in emb_rows])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    out = {}
+    for q in q_rows:
+        qv = np.array(q.embedding, dtype=np.float64)
+        qv = qv / np.linalg.norm(qv)
+        sims = Mn @ qv
+        mask = ids != q.query_id
+        order = sorted(zip(-sims[mask], ids[mask]))
+        out[q.query_id] = [int(i) for _, i in order[:k]]
+    return out
+
+
+def test_brute_force_matches_numpy(spark, emb, queries):
+    got_rows = cosine_topk(emb, queries, k=5).collect()
+    got = {}
+    for r in sorted(got_rows, key=lambda r: (r.query_id, r.rank)):
+        got.setdefault(r.query_id, []).append(r.vec_id)
+    exp = numpy_topk(emb.collect(), queries.collect(), 5)
+    assert got == exp
+
+
+def test_lsh_recall_reasonable(emb, queries):
+    exact = numpy_topk(emb.collect(), queries.collect(), 10)
+    approx_rows = lsh_topk(emb, queries, k=10).collect()
+    approx = {}
+    for r in approx_rows:
+        approx.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(approx.get(q, set()) & set(exact[q])) / 10 for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.3  # sketchy by design; sanity bound
+
+
+def test_ivf_probe_prunes_but_finds(emb, queries):
+    exact = numpy_topk(emb.collect(), queries.collect(), 10)
+    rows = ivf_topk(emb, queries, k=10, n_centroids=8, n_probe=4).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(got.get(q, set()) & set(exact[q])) / 10 for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.4
+    # probing fewer buckets must score fewer candidates than brute force
+    assert all(len(v) <= 10 for v in got.values())
+
+
+def test_topk_rank_is_dense_and_ordered(emb, queries):
+    rows = cosine_topk(emb, queries, k=3).collect()
+    by_q = {}
+    for r in sorted(rows, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        assert [r.rank for r in rs] == [1, 2, 3]
+        assert rs[0].cosine >= rs[1].cosine >= rs[2].cosine
