@@ -127,6 +127,66 @@ def _q_like_lookup(spark, sf_dir):
     )
 
 
+def _q_target_nesting(spark, sf_dir):
+    # P2: nest the whole row under a target struct (input jdbc `target`
+    # option), then project back out — proves the nesting round-trips.
+    ev = _t(spark, sf_dir, "events")
+    nested = ev.select(F.struct(*ev.columns).alias("payload"))
+    return nested.select(
+        F.col("payload.event_id").alias("event_id"),
+        F.col("payload.event_type").alias("event_type"),
+    )
+
+
+def _q_param_sql(spark, sf_dir):
+    # S6: prepared-statement analog — parameterized spark.sql with named
+    # binds (no string splicing).
+    from logstash_integration_jdbc_spark.sources.scan import load_testdata, run_statement
+
+    load_testdata(spark, sf_dir, "events")
+    return run_statement(
+        spark,
+        "SELECT event_id, value AS val FROM events "
+        "WHERE event_type = :etype AND value > :minval",
+        {"etype": "purchase", "minval": 100.0},
+    )
+
+
+def _q_count_guard(spark, sf_dir):
+    # A1: the loader's count(*) guard as a first-class aggregate
+    return _t(spark, sf_dir, "orders").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _q_multi_lookup_gate(spark, sf_dir):
+    # R3: filter_matched fires only when ALL lookups succeed — two chained
+    # lookups; rows whose supplier key misses the restricted dim fail the
+    # gate (jdbc_static.rb:161-164).
+    from logstash_integration_jdbc_spark.operators.lookup import (
+        OK_COL,
+        Lookup,
+        LookupProcessor,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") <= 50)
+    proc = LookupProcessor([
+        Lookup(id="part_info", dim=part, on=[("p_partkey", "=", "k")],
+               parameters={"k": "[l_partkey]"}, select=["p_name"]),
+        Lookup(id="supp_info", dim=supp, on=[("s_suppkey", "=", "k")],
+               parameters={"k": "[l_suppkey]"}, select=["s_name"],
+               tag_on_failure=["_supp_fail"]),
+    ])
+    out = proc.enhance(li)
+    # matched = non-empty supplier array (valid+empty is still "ok" per
+    # reference semantics, so the gate column alone can't split on dim
+    # misses — expose both)
+    return out.groupBy(
+        F.col(OK_COL).alias("lookups_ok"),
+        (F.size("supp_info") > 0).alias("supp_found"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
 def _q_router_counts(spark, sf_dir):
     # R4: tag/predicate fan-out — per-sink row counts
     from logstash_integration_jdbc_spark.operators.router import Route, Router
@@ -281,13 +341,15 @@ def _q_dedup_exact_keep(spark, sf_dir):
 
 
 def _q_dedup_minhash(spark, sf_dir):
-    # r=1 banding (16 hashes / 16 bands): recall at jaccard ≥0.8 is
-    # 1-(0.2)^16 ≈ 1-7e-12 — exact vs the O(n²) oracle; false candidates
-    # are removed by the exact-jaccard verification.
+    # 64 hashes / 16 bands (r=4): for the ≥0.9-jaccard near-dup pairs the
+    # corpus contains, miss probability is (1-0.9^4)^16 ≈ 4e-8 — exact vs
+    # the O(n²) oracle in practice — while false candidates need 4
+    # agreeing minhashes, keeping verification cost near-linear (r=1
+    # admitted 3% of ALL pairs as candidates on this corpus).
     from logstash_integration_jdbc_spark.operators.dedup import minhash_lsh_candidates
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_candidates(docs, num_hashes=16, bands=16)
+    pairs = minhash_lsh_candidates(docs, num_hashes=64, bands=16)
     return pairs.filter(F.col("jaccard") >= 0.8).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jac")
     )
@@ -353,8 +415,8 @@ def _q_ann_cosine_topk(spark, sf_dir):
 
 
 def _q_ann_ivf_topk(spark, sf_dir):
-    # IVF probe search — deterministic but the centroid/probe plumbing is
-    # not worth an 80-line SQL twin → rows-only check
+    # IVF probe search — deterministic (centroids = 8 smallest vec_ids,
+    # 4 probes); the DuckDB oracle replicates assignment+probing exactly
     from logstash_integration_jdbc_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings").withColumn(
@@ -420,6 +482,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1_full_scan": _q_full_scan,
         "s2_incremental_scan": _q_incremental_scan,
         "a2_max_watermark": _q_max_watermark,
+        "s6_param_sql": _q_param_sql,
+        "p2_target_nesting": _q_target_nesting,
+        "a1_count_guard": _q_count_guard,
+        "r3_multi_lookup_gate": _q_multi_lookup_gate,
         "j1_streaming_lookup": _q_streaming_lookup,
         "j2_static_lookup": _q_static_lookup,
         "j4_like_lookup": _q_like_lookup,
@@ -490,6 +556,20 @@ def oracle_sql() -> dict[str, str]:
     q["a2_max_watermark"] = (
         "SELECT strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS watermark FROM events"
     )
+    q["s6_param_sql"] = """
+        SELECT event_id, value AS val FROM events
+        WHERE event_type = 'purchase' AND value > 100.0
+    """
+    q["p2_target_nesting"] = "SELECT event_id, event_type FROM events"
+    q["a1_count_guard"] = "SELECT count(*) AS n FROM orders"
+    q["r3_multi_lookup_gate"] = """
+        SELECT TRUE AS lookups_ok, s.s_suppkey IS NOT NULL AS supp_found,
+               count(*) AS n
+        FROM lineitem l
+        LEFT JOIN (SELECT * FROM supplier WHERE s_suppkey <= 50) s
+          ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    """
     q["j1_streaming_lookup"] = """
         SELECT c.c_custkey,
                coalesce(n.n_name, 'unknown') AS nation_name,
@@ -686,6 +766,49 @@ def oracle_sql() -> dict[str, str]:
                    / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
                       * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cosine
             FROM e CROSS JOIN qs q WHERE e.vec_id <> q.query_id
+        )
+        SELECT query_id, vec_id, round(cosine, 4) AS cos4 FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, vec_id ASC) AS rn
+            FROM scored
+        ) WHERE rn <= 10
+    """
+    q["ann_ivf_topk"] = """
+        WITH e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), cents AS (
+            SELECT vec_id AS centroid_id, v AS cv FROM e
+            ORDER BY vec_id LIMIT 8
+        ), assigned AS (
+            SELECT vec_id, v, centroid_id FROM (
+                SELECT e.vec_id, e.v, c.centroid_id,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.cv[i]))
+                           / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+                              * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) DESC,
+                           c.centroid_id ASC) AS rn
+                FROM e CROSS JOIN cents c
+            ) WHERE rn = 1
+        ), qs AS (
+            SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5
+        ), probes AS (
+            SELECT query_id, centroid_id, qv FROM (
+                SELECT q.query_id, c.centroid_id, q.qv,
+                       row_number() OVER (PARTITION BY q.query_id ORDER BY
+                           list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.cv[i]))
+                           / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+                              * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) DESC,
+                           c.centroid_id ASC) AS rn
+                FROM qs q CROSS JOIN cents c
+            ) WHERE rn <= 4
+        ), scored AS (
+            SELECT p.query_id, a.vec_id,
+                   list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * p.qv[i]))
+                   / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(p.qv, x -> x * x)))) AS cosine
+            FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+            WHERE a.vec_id <> p.query_id
         )
         SELECT query_id, vec_id, round(cosine, 4) AS cos4 FROM (
             SELECT *, row_number() OVER (PARTITION BY query_id

@@ -122,7 +122,13 @@ def minhash_lsh_candidates(
     positives survive).
     """
     rows_per_band = num_hashes // bands
-    base = df.select(
+    # Higher-order-function lambdas (transform/array_min) evaluate
+    # interpreted, not codegen'd — the signature is the CPU hot spot, so
+    # spread it across all cores even when the input is one small file.
+    spread = df.select(F.col(id_col), F.col(text_col)).repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    base = spread.select(
         F.col(id_col),
         shingle_hashes(F.col(text_col), n_shingle).alias("__sh"),
     ).withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))

@@ -4,6 +4,14 @@ The north_star requires per-partition lineage and row-count metrics per
 stage. ``df.observe(name, exprs...)`` attaches accumulator-backed metrics
 to the existing action: no second pass over the data, no ``count()``
 jobs — at 100 TB an extra count per stage would double the I/O.
+
+IMPORTANT measured caveat: every ``observe`` inserts a CollectMetrics
+plan node that splits whole-stage codegen. Three observe points made the
+pipeline's write job ~90% slower. Collect ALL of a job's metrics in ONE
+observe on the terminal frame (conditional ``sum(when(...))`` per stage
+flag) — which is what ``pipeline.run_pipeline`` does via
+``Router.write_all(extra_observe=...)``. Use this collector only for
+multi-action jobs where metric points genuinely cannot share a node.
 """
 
 from __future__ import annotations

@@ -1,0 +1,90 @@
+"""Physical-plan quality gates — the 100 TB checklist as assertions.
+
+These tests pin the *plan shape*, not results: predicate pushdown into
+the parquet scan, column pruning, broadcast joins for dimensions, no
+Python evaluation in the JVM fast paths. A regression here is a silent
+10-100× slowdown at scale long before it's a correctness bug.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from logstash_integration_jdbc_spark.functions.parse import parse_tool_calls
+from logstash_integration_jdbc_spark.operators.lookup import Lookup
+from logstash_integration_jdbc_spark.sources.scan import incremental_scan
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_incremental_scan_pushes_predicate(spark, fixture_dir):
+    df = spark.read.parquet(f"{fixture_dir}/transcripts.parquet")
+    scanned = incremental_scan(df, "ts", "2024-01-01 00:30:00")
+    plan = plan_of(scanned)
+    assert "PushedFilters" in plan
+    # the tracking predicate must reach the scan, not sit in a Filter only
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    assert "GreaterThan(ts" in pushed
+
+
+def test_projection_prunes_scan_columns(spark, fixture_dir):
+    df = spark.read.parquet(f"{fixture_dir}/transcripts.parquet")
+    plan = plan_of(df.select("conv_id", "ts"))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema and "tool" not in read_schema
+
+
+def test_equi_lookup_is_broadcast_hash_join_map_only(spark, fixture_dir, tool_dim):
+    fact = parse_tool_calls(spark.read.parquet(f"{fixture_dir}/transcripts.parquet"))
+    lk = Lookup(
+        id="tool_info", dim=tool_dim,
+        on=[("tool", "=", "tool")], parameters={"tool": "[tool_call]"},
+        select=["tool_name"],
+    )
+    plan = plan_of(lk.apply(fact))
+    assert "BroadcastHashJoin" in plan
+    # the FACT side must not shuffle: no Exchange hashpartitioning on the
+    # streamed side (only the broadcast exchange of the dim aggregate)
+    streamed_side = plan.split("BroadcastHashJoin")[1]
+    assert "Exchange hashpartitioning" not in plan.split("BroadcastExchange")[0]
+
+
+def test_parse_and_enrich_have_no_python_eval(spark, fixture_dir, tool_dim):
+    fact = parse_tool_calls(spark.read.parquet(f"{fixture_dir}/transcripts.parquet"))
+    lk = Lookup(
+        id="tool_info", dim=tool_dim,
+        on=[("tool", "=", "tool")], parameters={"tool": "[tool_call]"},
+        select=["tool_name"],
+    )
+    plan = plan_of(lk.apply(fact))
+    assert "EvalPython" not in plan  # no per-row or arrow Python in hot path
+
+
+def test_whole_stage_codegen_covers_parse(spark, fixture_dir):
+    df = parse_tool_calls(spark.read.parquet(f"{fixture_dir}/transcripts.parquet"))
+    plan = plan_of(df)
+    # executedPlan toString marks codegen stages with "*(n)"
+    assert "WholeStageCodegen" in plan or "*(1)" in plan
+
+
+def test_hourly_counts_partial_aggregation(spark, fixture_dir):
+    from logstash_integration_jdbc_spark.operators.aggregate import hourly_counts
+
+    df = spark.read.parquet(f"{fixture_dir}/transcripts.parquet")
+    plan = plan_of(hourly_counts(df))
+    # map-side partial agg before the exchange: two HashAggregate nodes
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan
+
+
+def test_minhash_signature_stays_jvm_side(spark):
+    from logstash_integration_jdbc_spark.operators.dedup import (
+        minhash_signature,
+        shingle_hashes,
+    )
+
+    df = spark.createDataFrame([("a b c d e",)], "text string")
+    sig = df.select(minhash_signature(shingle_hashes(F.col("text")), 16).alias("s"))
+    assert "EvalPython" not in plan_of(sig)

@@ -1,0 +1,62 @@
+"""Source helpers: S1 scan options, S6 parameterized SQL, S7 statement
+file, A2 watermark, per-partition cursors."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from logstash_integration_jdbc_spark.sources.scan import (
+    incremental_scan,
+    load_testdata,
+    max_watermark,
+    partition_cursors,
+    read_statement_file,
+    run_statement,
+    scan_table,
+)
+
+
+def test_scan_table_lowercase_and_target(spark, tmp_path):
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame([(1, "x")], "ID int, NameX string").write.parquet(p)
+    df = scan_table(spark, p)
+    assert df.columns == ["id", "namex"]  # P1 lowercase (jdbc mixin :192-198)
+    nested = scan_table(spark, p, target="doc")
+    assert nested.columns == ["doc"]  # P2 target nesting
+    assert nested.first().doc.id == 1
+
+
+def test_statement_file_and_parameterized_sql(spark, tmp_path, fixture_dir):
+    sql_file = tmp_path / "q.sql"
+    sql_file.write_text(
+        "SELECT count(*) AS n FROM transcripts WHERE role = :role\n"
+    )
+    stmt = read_statement_file(str(sql_file))
+    spark.read.parquet(f"{fixture_dir}/transcripts.parquet").createOrReplaceTempView("transcripts")
+    out = run_statement(spark, stmt, {"role": "user"})
+    direct = spark.sql("SELECT count(*) AS n FROM transcripts WHERE role = 'user'")
+    assert out.first().n == direct.first().n > 0
+
+
+def test_incremental_scan_strictness(spark, transcripts):
+    mark = transcripts.selectExpr("percentile_approx(ts, 0.5) as c").first().c
+    above = incremental_scan(transcripts, "ts", mark).count()
+    at_or_above = incremental_scan(transcripts, "ts", mark, inclusive=True).count()
+    assert at_or_above >= above
+    assert above == transcripts.filter(f"ts > timestamp'{mark}'").count()
+
+
+def test_max_watermark_and_cursors_consistent(spark, transcripts):
+    w = max_watermark(transcripts, "ts")
+    cursors = partition_cursors(transcripts, ts_col="ts", n_buckets=8)
+    assert len(cursors) <= 8
+    assert max(c["max_ts"] for c in cursors.values()) == w
+    for c in cursors.values():
+        assert isinstance(c["max_ts"], datetime)
+        assert c["conv_id"] and c["turn_idx"] >= 0
+
+
+def test_load_testdata_registers_views(spark):
+    out = load_testdata(spark, "/root/testdata/sf0.001", "region", "nation")
+    assert set(out) == {"region", "nation"}
+    assert spark.sql("SELECT count(*) n FROM region").first().n == 5
