@@ -187,6 +187,25 @@ def _q_multi_lookup_gate(spark, sf_dir):
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
+def _q_grok_parse(spark, sf_dir):
+    # north_star parse stage: multi-pattern grok with break_on_match and
+    # _grokparsefailure tagging, JVM-side (GrokPipeline)
+    from logstash_integration_jdbc_spark.functions.parse import GrokPipeline
+
+    gp = GrokPipeline(
+        patterns=['"k": %{INT:k}', "k=%{INT:k}"],
+        types={"k": "int"},
+        tag_on_failure=("_grokparsefailure",),
+    )
+    ev = _t(spark, sf_dir, "events")
+    out = gp.apply(ev, text_col="props")
+    return out.select(
+        "event_id", "k",
+        F.col("parse_ok").cast("int").alias("ok"),
+        F.array_join("tags", ",").alias("tags_str"),
+    )
+
+
 def _q_router_counts(spark, sf_dir):
     # R4: tag/predicate fan-out — per-sink row counts
     from logstash_integration_jdbc_spark.operators.router import Route, Router
@@ -489,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_streaming_lookup": _q_streaming_lookup,
         "j2_static_lookup": _q_static_lookup,
         "j4_like_lookup": _q_like_lookup,
+        "grok_parse": _q_grok_parse,
         "r4_router_counts": _q_router_counts,
         "agg_hourly_counts": _q_hourly_counts,
         "win_latest_event": _q_latest_event,
@@ -588,6 +608,15 @@ def oracle_sql() -> dict[str, str]:
         FROM nation n
         LEFT JOIN region r ON r.r_name LIKE substr(n.n_name, 1, 1) || '%'
         GROUP BY n.n_nationkey
+    """
+    q["grok_parse"] = """
+        SELECT event_id,
+               try_cast(nullif(regexp_extract(props, '"k": ([+-]?\\d+)', 1), '') AS INT) AS k,
+               CASE WHEN nullif(regexp_extract(props, '"k": ([+-]?\\d+)', 1), '') IS NOT NULL
+                    THEN 1 ELSE 0 END AS ok,
+               CASE WHEN nullif(regexp_extract(props, '"k": ([+-]?\\d+)', 1), '') IS NOT NULL
+                    THEN '' ELSE '_grokparsefailure' END AS tags_str
+        FROM events
     """
     q["r4_router_counts"] = """
         SELECT sink, count(*) AS n FROM (

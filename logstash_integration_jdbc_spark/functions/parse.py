@@ -89,6 +89,64 @@ def parse_tool_calls(df: DataFrame, text_col: str = "text") -> DataFrame:
     return parser.apply(df, text_col=text_col)
 
 
+class GrokPipeline:
+    """Logstash-grok `match` semantics over several patterns.
+
+    Logstash grok takes a LIST of patterns per field; with the default
+    ``break_on_match => true`` the first matching pattern wins and later
+    ones are skipped; if none match the event is tagged
+    ``_grokparsefailure``. Compiled Spark-side as a chain of
+    ``coalesce``-per-field over the per-pattern extractions — one
+    codegen'd projection, no Python, no per-row loop.
+    """
+
+    def __init__(self, patterns: list[str], types: dict[str, str] | None = None,
+                 tag_on_failure: tuple[str, ...] = ("_grokparsefailure",),
+                 break_on_match: bool = True) -> None:
+        self.parsers = [GrokParser(p, types) for p in patterns]
+        self.tag_on_failure = list(tag_on_failure)
+        self.break_on_match = break_on_match
+        self.fields: list[str] = []
+        for p in self.parsers:
+            for f_ in p.fields:
+                if f_ not in self.fields:
+                    self.fields.append(f_)
+
+    def apply(self, df: DataFrame, text_col: str = "text",
+              matched_col: str = "parse_ok", tags_col: str = "tags") -> DataFrame:
+        text = F.col(text_col)
+        per_parser = [p.extract(text) for p in self.parsers]
+        matches = [
+            # a parser "matched" when its first capture is non-null
+            cols[p.fields[0]].isNotNull()
+            for p, cols in zip(self.parsers, per_parser)
+        ]
+        if self.break_on_match:
+            # first matching pattern wins for ALL its fields
+            for f_ in self.fields:
+                expr = None
+                for m, p, cols in zip(matches, self.parsers, per_parser):
+                    if f_ not in cols:
+                        continue
+                    branch = F.when(m, cols[f_])
+                    expr = branch if expr is None else expr.when(m, cols[f_])
+                df = df.withColumn(f_, expr.otherwise(F.lit(None)))
+        else:
+            # every pattern contributes; later patterns fill gaps
+            for f_ in self.fields:
+                cands = [cols[f_] for cols in per_parser if f_ in cols]
+                df = df.withColumn(f_, F.coalesce(*cands) if len(cands) > 1 else cands[0])
+        any_match = matches[0]
+        for m in matches[1:]:
+            any_match = any_match | m
+        df = df.withColumn(matched_col, any_match)
+        if self.tag_on_failure:
+            from logstash_integration_jdbc_spark.operators.lookup import add_tags
+
+            df = add_tags(df, ~any_match, self.tag_on_failure)
+        return df
+
+
 def parse_text_pandas(pattern: str, fields: list[str]):
     """Arrow pandas-UDF fallback extractor → map<string,string>.
 
