@@ -187,6 +187,26 @@ def _q_multi_lookup_gate(spark, sf_dir):
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
+def _q_assemble(spark, sf_dir):
+    # conversation assembly: turns → one ordered training document per
+    # conversation (events table mapped onto the transcript shape)
+    from logstash_integration_jdbc_spark.operators.assemble import assemble_conversations
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.col("ts"),
+    )
+    out = assemble_conversations(ev)
+    return out.select(
+        "conv_id", "document", "n_turns", "n_tokens",
+        F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("first_s"),
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_s"),
+    )
+
+
 def _q_grok_parse(spark, sf_dir):
     # north_star parse stage: multi-pattern grok with break_on_match and
     # _grokparsefailure tagging, JVM-side (GrokPipeline)
@@ -509,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_static_lookup": _q_static_lookup,
         "j4_like_lookup": _q_like_lookup,
         "grok_parse": _q_grok_parse,
+        "conv_assemble": _q_assemble,
         "r4_router_counts": _q_router_counts,
         "agg_hourly_counts": _q_hourly_counts,
         "win_latest_event": _q_latest_event,
@@ -617,6 +638,16 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN nullif(regexp_extract(props, '"k": ([+-]?\\d+)', 1), '') IS NOT NULL
                     THEN '' ELSE '_grokparsefailure' END AS tags_str
         FROM events
+    """
+    q["conv_assemble"] = r"""
+        SELECT CAST(user_id AS VARCHAR) AS conv_id,
+               string_agg(event_type || ': ' || props, chr(10) ORDER BY CAST(event_id AS INT)) AS document,
+               count(*) AS n_turns,
+               sum(CASE WHEN trim(props) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(lower(props)), '\s+')) END) AS n_tokens,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_s,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_s
+        FROM events GROUP BY user_id
     """
     q["r4_router_counts"] = """
         SELECT sink, count(*) AS n FROM (
