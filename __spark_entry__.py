@@ -25,6 +25,10 @@ PARSE_RE = r"tool_call=(\S+) status=(\w+) dur_ms=([+-]?\d+)"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver supplies its own session: pin the runtime confs the
+    # oracles assume (non-ANSI null-on-miss semantics, UTC rendering).
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -82,7 +86,7 @@ def _q_streaming_lookup(spark, sf_dir):
     out = streaming_lookup(cust, lk)
     return out.select(
         "c_custkey",
-        F.col("nation_info")[0]["n_name"].alias("nation_name"),
+        F.get("nation_info", 0)["n_name"].alias("nation_name"),
         F.array_join("tags", ",").alias("tags_str"),
     )
 
@@ -101,7 +105,7 @@ def _q_static_lookup(spark, sf_dir):
     out = LookupProcessor([lk]).enhance(orders)
     return out.select(
         "o_orderkey",
-        F.col("cust_info")[0]["c_name"].alias("cust_name"),
+        F.get("cust_info", 0)["c_name"].alias("cust_name"),
         F.size("cust_info").alias("n_matches"),
     )
 
@@ -483,6 +487,7 @@ def _q_media_stats(spark, sf_dir):
     # generated binary media table (no testdata media exists) → rows-only
     from logstash_integration_jdbc_spark.operators.multimodal import gen_media, media_stats
 
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     return media_stats(gen_media(spark, n_rows=300))
 
 
@@ -497,6 +502,7 @@ def _q_transcript_pipeline(spark, sf_dir):
         gen_transcripts,
     )
 
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     tr = gen_transcripts(spark, n_rows=5000, seed=42)
     parsed = parse_tool_calls(tr)
     lk = Lookup(
