@@ -90,11 +90,14 @@ def shingle_hashes(text_col: Column, n: int = 3) -> Column:
 # -- MinHash + LSH ---------------------------------------------------------
 
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """num_hashes-wide minhash signature as array<bigint>.
+    """num_hashes-wide minhash signature as array<bigint> (expression form).
 
     Each permutation i: min over shingles of (a_i·h + b_i) mod P, with h
     first folded into [0, P). Pure `transform`+`array_min` expressions —
-    whole-stage codegen, zero Python.
+    zero Python, but higher-order functions evaluate *interpreted* (no
+    whole-stage codegen), so this form is ~50× slower than the Arrow UDF
+    below. Kept as the semantic reference; production path is
+    `minhash_signature_udf` (identical output, tested in test_dedup).
     """
     def perm(a: int, b: int):
         return lambda h: (F.pmod(h, F.lit(_P)) * F.lit(a) + F.lit(b)) % F.lit(_P)
@@ -104,6 +107,48 @@ def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
         for a, b in _perm_coeffs(num_hashes)
     ]
     return F.array(*sigs)
+
+
+_SIG_UDFS: dict[int, object] = {}
+
+
+def minhash_signature_udf(num_hashes: int = 64):
+    """Arrow pandas UDF computing the SAME signature as
+    `minhash_signature`, numpy-vectorized across the whole batch.
+
+    The batch's shingle arrays are flattened once; per permutation k we
+    compute (h·a_k + b_k) mod P over the flat vector and segment-min with
+    `np.minimum.reduceat` — O(total_shingles) per permutation with no
+    Python-level row loop. h < 2^31 and a_k < 2^31 keep the product exact
+    in int64. Memory stays O(total_shingles) (per-permutation passes, not
+    a (total × num_hashes) matrix), so executor batches never balloon.
+    """
+    if num_hashes in _SIG_UDFS:
+        return _SIG_UDFS[num_hashes]
+
+    import numpy as np
+
+    coeffs = _perm_coeffs(num_hashes)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)
+    B = np.array([b for _, b in coeffs], dtype=np.int64)
+
+    @pandas_udf("array<bigint>")
+    def _sig(sh: pd.Series) -> pd.Series:
+        n = len(sh)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        lens = np.fromiter((len(x) for x in sh), dtype=np.int64, count=n)
+        flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in sh])
+        hm = flat % _P  # numpy % matches pmod (non-negative) for positive divisor
+        offsets = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        out = np.empty((n, num_hashes), dtype=np.int64)
+        for k in range(num_hashes):
+            out[:, k] = np.minimum.reduceat((hm * A[k] + B[k]) % _P, offsets)
+        return pd.Series(list(out))
+
+    _SIG_UDFS[num_hashes] = _sig
+    return _sig
 
 
 def minhash_lsh_candidates(
@@ -122,16 +167,16 @@ def minhash_lsh_candidates(
     positives survive).
     """
     rows_per_band = num_hashes // bands
-    # Higher-order-function lambdas (transform/array_min) evaluate
-    # interpreted, not codegen'd — the signature is the CPU hot spot, so
-    # spread it across all cores even when the input is one small file.
-    spread = df.select(F.col(id_col), F.col(text_col)).repartition(
-        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    )
+    # Shingle hashing stays JVM-side (split + xxhash64); the signature is
+    # the CPU hot spot and runs as a numpy-vectorized Arrow UDF. Spread
+    # across all cores even when the input is one small file.
+    spread = df.select(
+        F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
     base = spread.select(
         F.col(id_col),
         shingle_hashes(F.col(text_col), n_shingle).alias("__sh"),
-    ).withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+    ).withColumn("__sig", minhash_signature_udf(num_hashes)(F.col("__sh")))
 
     band_keys = base.select(
         id_col,
@@ -145,13 +190,20 @@ def minhash_lsh_candidates(
             ])
         ).alias("__band", "__bucket"),
     )
-    a = band_keys.alias("a")
-    b_ = band_keys.alias("b")
+    # Pair generation: group ids per (band, bucket) and emit ordered pairs
+    # from each bucket's id list. One shuffle on the bucket key, signature
+    # computed exactly once (vs a self-join recomputing both sides). At
+    # 100 TB a degenerate bucket (e.g. boilerplate docs) yields O(B²)
+    # pairs either way; exact-dedup upstream is the intended guard.
     cand = (
-        a.join(b_, (F.col("a.__band") == F.col("b.__band"))
-               & (F.col("a.__bucket") == F.col("b.__bucket"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        band_keys.groupBy("__band", "__bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))
+        .filter(F.size("__ids") > 1)
+        .select(F.posexplode("__ids").alias("__i", "id_a"), F.col("__ids"))
+        .select(
+            "id_a",
+            F.explode(F.expr("slice(__ids, __i + 2, size(__ids))")).alias("id_b"),
+        )
         .distinct()
     )
     sh = base.select(F.col(id_col), F.col("__sh"))
@@ -182,30 +234,42 @@ _SIMHASH_UDF = None
 
 
 def _get_simhash_udf():
-    """Lazily build the simhash pandas UDF (needs an active session)."""
+    """Lazily build the simhash pandas UDF (needs an active session).
+
+    Input is the array of 64-bit *token hashes* (computed JVM-side with
+    xxhash64 — string work never crosses into Python). The UDF flattens
+    the batch, unpacks hash bits to ±1, and segment-sums with
+    `np.add.reduceat` — no per-row or per-token Python loop.
+    """
     global _SIMHASH_UDF
     if _SIMHASH_UDF is not None:
         return _SIMHASH_UDF
 
     @pandas_udf("long")
-    def _simhash64(words: pd.Series) -> pd.Series:
-        """64-bit simhash of a token array column (numpy-vectorized batch)."""
+    def _simhash64(hashes: pd.Series) -> pd.Series:
         import numpy as np
 
-        out = np.zeros(len(words), dtype=np.int64)
-        for i, toks in enumerate(words):
-            if toks is None or len(toks) == 0:
-                continue
-            # deterministic 64-bit token hashes (FNV-1a, pure python ints)
-            acc = np.zeros(64, dtype=np.int64)
-            for t in toks:
-                h = 0xCBF29CE484222325
-                for ch in t.encode("utf-8"):
-                    h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-                bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8))
-                acc += np.where(bits.astype(np.int64) > 0, 1, -1)
-            sig = np.packbits((acc > 0).astype(np.uint8)).tobytes()
-            out[i] = int.from_bytes(sig, "big", signed=True)
+        n = len(hashes)
+        out = np.zeros(n, dtype=np.int64)
+        if n == 0:
+            return pd.Series(out)
+        lens = np.fromiter(
+            (0 if x is None else len(x) for x in hashes), dtype=np.int64, count=n
+        )
+        nz = lens > 0
+        if not nz.any():
+            return pd.Series(out)
+        flat = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in hashes if x is not None and len(x)]
+        )
+        # bit matrix (total_tokens × 64) of ±1 contributions
+        bits = np.unpackbits(
+            flat.astype(">i8").view(np.uint8).reshape(-1, 8), axis=1
+        ).astype(np.int32) * 2 - 1
+        offsets = np.zeros(int(nz.sum()), dtype=np.int64)
+        np.cumsum(lens[nz][:-1], out=offsets[1:])
+        acc = np.add.reduceat(bits, offsets, axis=0)
+        out[nz] = np.packbits(acc > 0, axis=1).copy().view(">i8").ravel()
         return pd.Series(out)
 
     _SIMHASH_UDF = _simhash64
@@ -214,7 +278,8 @@ def _get_simhash_udf():
 
 def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    return df.withColumn(out_col, _get_simhash_udf()(words))
+    token_hashes = F.transform(words, lambda w: F.xxhash64(w))
+    return df.withColumn(out_col, _get_simhash_udf()(token_hashes))
 
 
 def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
@@ -225,7 +290,10 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
     hamming ≤ 3 agrees on ≥1 chunk), join within blocks, verify with
     bit_count(xor) — all JVM-side after the signature.
     """
-    sh = simhash(df.select(id_col, text_col), text_col).select(id_col, "simhash")
+    spread = df.select(id_col, text_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    sh = simhash(spread, text_col).select(id_col, "simhash")
     chunks = sh.select(
         id_col, "simhash",
         F.posexplode(F.array(*[
@@ -233,13 +301,21 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
             for k in range(4)
         ])).alias("__chunk_idx", "__chunk"),
     )
-    a, b = chunks.alias("a"), chunks.alias("b")
+    # Group per block and emit ordered pairs from the member list: the
+    # signature UDF runs once (a self-join would evaluate it per side)
+    # and the only shuffle is the block-key exchange.
     return (
-        a.join(b, (F.col("a.__chunk_idx") == F.col("b.__chunk_idx"))
-               & (F.col("a.__chunk") == F.col("b.__chunk"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
-                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"))
+        chunks.groupBy("__chunk_idx", "__chunk")
+        .agg(F.sort_array(F.collect_list(F.struct(
+            F.col(id_col).alias("id"), F.col("simhash")))).alias("__ms"))
+        .filter(F.size("__ms") > 1)
+        .select(F.posexplode("__ms").alias("__i", "__a"), F.col("__ms"))
+        .select("__a", F.explode(
+            F.expr("slice(__ms, __i + 2, size(__ms))")).alias("__b"))
+        .select(
+            F.col("__a.id").alias("id_a"), F.col("__b.id").alias("id_b"),
+            F.bit_count(F.col("__a.simhash").bitwiseXOR(F.col("__b.simhash"))).alias("hamming"),
+        )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

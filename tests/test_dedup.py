@@ -93,3 +93,23 @@ def test_dedup_on_real_documents(spark):
     kept = exact_dedup(both)
     assert kept.count() == docs.count()
     assert kept.agg(F.max("doc_id")).first()[0] < 1_000_000  # min-id wins
+
+
+def test_signature_udf_matches_expression_form(spark):
+    """The Arrow-UDF signature must equal the pure-expression reference."""
+    from logstash_integration_jdbc_spark.operators.dedup import (
+        minhash_signature,
+        minhash_signature_udf,
+        shingle_hashes,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    base = docs.select("doc_id", shingle_hashes(F.col("text")).alias("sh"))
+    both = base.select(
+        "doc_id",
+        minhash_signature(F.col("sh"), 16).alias("expr_sig"),
+        minhash_signature_udf(16)(F.col("sh")).alias("udf_sig"),
+    ).collect()
+    assert len(both) == 50
+    for r in both:
+        assert r.expr_sig == list(r.udf_sig)
