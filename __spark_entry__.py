@@ -288,10 +288,87 @@ def _q_sessionize(spark, sf_dir):
     return marked.groupBy("user_id").agg(F.sum("new_sess").alias("n_sessions"))
 
 
+def _q_asof_enrich(spark, sf_dir):
+    # as-of join: each purchase gets the latest error event at-or-before
+    # it for the same user (point-in-time state enrichment); right side
+    # deduped to one row per (user, ts) for determinism.
+    from logstash_integration_jdbc_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    err = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("err_id"))
+    )
+    out = asof_join(purch, err, on="ts", by="user_id", right_prefix="last_")
+    return out.select(
+        "event_id", "user_id", "last_err_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+    )
+
+
+def _q_setops(spark, sf_dir):
+    # delegated SQL surface: INTERSECT / EXCEPT / UNION as native ops
+    ev = _t(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    erring = ev.filter(F.col("event_type") == "error").select("user_id")
+    both = buyers.intersect(erring).select(F.lit("both").alias("op"), "user_id")
+    clean = buyers.subtract(erring).select(  # EXCEPT (distinct) semantics
+        F.lit("buy_only").alias("op"), "user_id"
+    )
+    return both.unionByName(clean)
+
+
+def _q_rollup(spark, sf_dir):
+    # delegated SQL surface: ROLLUP grouping sets with grouping() flags
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    return (
+        ev.rollup("event_type", day)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("etype"),
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            "n",
+        )
+    )
+
+
+def _q_tz_convert(spark, sf_dir):
+    # F3: DB-local timezone → UTC decoration (`jdbc_default_timezone`);
+    # January data — no DST boundary, so the policy branch is inert here
+    # (exercised in tests/test_functions.py for both overlap policies).
+    from logstash_integration_jdbc_spark.functions.timezone import local_to_utc
+
+    ev = _t(spark, sf_dir, "events")
+    out = ev.withColumn(
+        "ts_utc", local_to_utc(F.col("ts"), "America/New_York")
+    )
+    return out.select(
+        "event_id",
+        F.date_format("ts_utc", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("utc_s"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # delegated SQL surface (the reference ships these to a remote DB; we own
 # them natively) — TPC-H-style analytics
 # ---------------------------------------------------------------------------
+
+def _q_tpch_q6(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    out = li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount").cast("decimal(18,2)").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(F.sum(dec("l_extendedprice") * dec("l_discount")).alias("_rev"))
+    return out.select(F.col("_rev").cast("double").alias("revenue"))
+
 
 def _q_tpch_q1(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2000-09-01")
@@ -540,9 +617,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_hourly_counts": _q_hourly_counts,
         "win_latest_event": _q_latest_event,
         "sessionize": _q_sessionize,
+        "asof_enrich": _q_asof_enrich,
+        "setops": _q_setops,
+        "rollup_counts": _q_rollup,
+        "tz_convert": _q_tz_convert,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
+        "tpch_q6": _q_tpch_q6,
         "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_exact_keep": _q_dedup_exact_keep,
         "dedup_minhash": _q_dedup_minhash,
@@ -730,6 +812,48 @@ def oracle_sql() -> dict[str, str]:
           AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         GROUP BY n.n_name
+    """
+    q["tpch_q6"] = """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """
+    q["asof_enrich"] = """
+        WITH purch AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        ), err AS (
+            SELECT user_id, ts, max(event_id) AS err_id FROM events
+            WHERE event_type = 'error' GROUP BY user_id, ts
+        )
+        SELECT p.event_id, p.user_id, e.err_id AS last_err_id,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s
+        FROM purch p ASOF LEFT JOIN err e
+          ON p.user_id = e.user_id AND p.ts >= e.ts
+    """
+    q["setops"] = """
+        WITH buyers AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+             erring AS (SELECT user_id FROM events WHERE event_type = 'error')
+        SELECT 'both' AS op, user_id FROM (SELECT * FROM buyers INTERSECT SELECT * FROM erring)
+        UNION ALL
+        SELECT 'buy_only' AS op, user_id
+        FROM (SELECT DISTINCT user_id FROM buyers
+              WHERE user_id NOT IN (SELECT user_id FROM erring))
+    """
+    q["rollup_counts"] = """
+        SELECT coalesce(event_type, 'ALL') AS etype,
+               coalesce(strftime(ts, '%Y-%m-%d'), 'ALL') AS day,
+               count(*) AS n
+        FROM events GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m-%d'))
+    """
+    q["tz_convert"] = """
+        SELECT event_id,
+               strftime(CAST(timezone('America/New_York', ts) AS TIMESTAMP),
+                        '%Y-%m-%d %H:%M:%S.%f') AS utc_s
+        FROM events
     """
     q["dedup_exact_groups"] = """
         SELECT min(doc_id) AS rep_id, count(*) AS n_dups FROM (

@@ -43,6 +43,10 @@ def salted_repartition(
         # lets AQE rebalance to ~advisory-sized (64 MB) partitions, which
         # caps downstream stage parallelism at data-size/64MB tasks — on a
         # wide executor that leaves most cores idle (measured: a 519 MB
-        # write ran ~10 tasks on 32 cores). 2× cores keeps every core fed.
-        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+        # write ran ~10 tasks on 32 cores). 1× cores feeds every core;
+        # 2× cores measured consistently SLOWER on the fan-out write
+        # (64 vs 32 reducers at 1M rows: ~9-16s vs ~5-10s) — each extra
+        # reducer multiplies dynamic-partition writer files (tasks × dirs)
+        # and per-task sort/flush overhead without adding parallelism.
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(num_partitions, *cols)

@@ -181,3 +181,76 @@ class TestResume:
         matched = spark.read.parquet(os.path.join(out, "sinks", "sink=matched"))
         assert matched.count() == m1["sinks"]["matched"]
         assert matched.groupBy("conv_id", "turn_idx").count().filter("count > 1").count() == 0
+
+
+class TestRetry:
+    def test_with_retries_recovers_and_exhausts(self):
+        from logstash_integration_jdbc_spark.pipeline import with_retries
+
+        calls = {"n": 0}
+
+        def flaky():
+            calls["n"] += 1
+            if calls["n"] < 3:
+                raise RuntimeError("transient")
+            return "ok"
+
+        assert with_retries(flaky, attempts=2, wait_s=0.01) == "ok"
+        assert calls["n"] == 3
+        calls["n"] = 0
+        with pytest.raises(RuntimeError, match="transient"):
+            with_retries(flaky, attempts=1, wait_s=0.01)  # 2 tries < 3 needed
+        assert calls["n"] == 2
+
+    def test_pipeline_retries_transient_write_failure(
+        self, spark, fixture_dir, tmp_path, monkeypatch
+    ):
+        """A write that fails once succeeds on retry; the watermark
+        advances and outputs match a clean run (idempotent run_id)."""
+        from logstash_integration_jdbc_spark.operators.router import Router
+
+        orig = Router.write_all
+        state = {"fails_left": 1}
+
+        def flaky_write_all(self, *a, **k):
+            if state["fails_left"] > 0:
+                state["fails_left"] -= 1
+                raise RuntimeError("simulated sink outage")
+            return orig(self, *a, **k)
+
+        monkeypatch.setattr(Router, "write_all", flaky_write_all)
+        out = str(tmp_path / "out")
+        cfg = PipelineConfig(
+            transcripts_path=f"{fixture_dir}/transcripts.parquet",
+            tool_dim_path=f"{fixture_dir}/tool_dim.parquet",
+            role_dim_path=f"{fixture_dir}/role_dim.parquet",
+            out_dir=out, checkpoint_path=os.path.join(out, "ckpt.json"),
+            clean_run=True, statement_retry_wait_s=0.01,
+        )
+        metrics = run_pipeline(spark, cfg)
+        assert state["fails_left"] == 0
+        assert sum(metrics["sinks"].values()) == metrics["stages"]["scan"]["rows"]
+
+    def test_pipeline_exhausted_retries_leave_watermark(self,
+            spark, fixture_dir, tmp_path, monkeypatch):
+        from logstash_integration_jdbc_spark.operators.router import Router
+        from logstash_integration_jdbc_spark.sources.value_tracking import ValueTracker
+
+        def always_fail(self, *a, **k):
+            raise RuntimeError("permanent sink outage")
+
+        monkeypatch.setattr(Router, "write_all", always_fail)
+        out = str(tmp_path / "out")
+        ckpt = os.path.join(out, "ckpt.json")
+        cfg = PipelineConfig(
+            transcripts_path=f"{fixture_dir}/transcripts.parquet",
+            tool_dim_path=f"{fixture_dir}/tool_dim.parquet",
+            role_dim_path=f"{fixture_dir}/role_dim.parquet",
+            out_dir=out, checkpoint_path=ckpt,
+            clean_run=True, statement_retry_wait_s=0.01,
+        )
+        with pytest.raises(RuntimeError, match="permanent"):
+            run_pipeline(spark, cfg)
+        # watermark must NOT have advanced (at-least-once: rerun re-emits)
+        t = ValueTracker(path=ckpt, tracking_type="timestamp")
+        assert str(t.value) == str(ValueTracker(path=None, tracking_type="timestamp").value)
