@@ -358,6 +358,28 @@ def _q_tz_convert(spark, sf_dir):
 # them natively) — TPC-H-style analytics
 # ---------------------------------------------------------------------------
 
+def _q_semi_join(spark, sf_dir):
+    # delegated SQL surface: EXISTS ≡ left-semi join (TPC-H q4 shape,
+    # adapted to the driver tables' columns)
+    orders = _t(spark, sf_dir, "orders")
+    returned = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def _q_anti_join(spark, sf_dir):
+    # delegated SQL surface: NOT EXISTS ≡ left-anti join (q22 shape)
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
 def _q_tpch_q6(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")
@@ -618,6 +640,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_latest_event": _q_latest_event,
         "sessionize": _q_sessionize,
         "asof_enrich": _q_asof_enrich,
+        "semi_join": _q_semi_join,
+        "anti_join": _q_anti_join,
         "setops": _q_setops,
         "rollup_counts": _q_rollup,
         "tz_convert": _q_tz_convert,
@@ -821,6 +845,16 @@ def oracle_sql() -> dict[str, str]:
           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
           AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
           AND l_quantity < 24
+    """
+    q["semi_join"] = """
+        SELECT o_orderpriority, count(*) AS order_count FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        GROUP BY o_orderpriority
+    """
+    q["anti_join"] = """
+        SELECT c_custkey, c_mktsegment FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """
     q["asof_enrich"] = """
         WITH purch AS (

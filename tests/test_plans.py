@@ -88,3 +88,17 @@ def test_minhash_signature_stays_jvm_side(spark):
     df = spark.createDataFrame([("a b c d e",)], "text string")
     sig = df.select(minhash_signature(shingle_hashes(F.col("text")), 16).alias("s"))
     assert "EvalPython" not in plan_of(sig)
+
+
+def test_asof_join_single_exchange_no_python(spark, fixture_dir):
+    from logstash_integration_jdbc_spark.operators.asof import asof_join
+
+    tr = spark.read.parquet(f"{fixture_dir}/transcripts.parquet")
+    left = tr.select("conv_id", "ts", "turn_idx")
+    right = tr.select("conv_id", "ts", F.col("tool").alias("state"))
+    plan = plan_of(asof_join(left, right, on="ts", by="conv_id"))
+    # union + window fill: ONE key exchange for the window sort, no join
+    # node at all, nothing in Python
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan.replace("asof_join", "")
