@@ -358,6 +358,18 @@ def _q_tz_convert(spark, sf_dir):
 # them natively) — TPC-H-style analytics
 # ---------------------------------------------------------------------------
 
+def _q_quantiles(spark, sf_dir):
+    # delegated SQL surface: exact interpolated percentiles per group
+    # (telemetry latency-style aggregation); approx_percentile is the
+    # 100 TB path — exact `percentile` here so DuckDB can mirror it.
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
 def _q_semi_join(spark, sf_dir):
     # delegated SQL surface: EXISTS ≡ left-semi join (TPC-H q4 shape,
     # adapted to the driver tables' columns)
@@ -640,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_latest_event": _q_latest_event,
         "sessionize": _q_sessionize,
         "asof_enrich": _q_asof_enrich,
+        "quantiles": _q_quantiles,
         "semi_join": _q_semi_join,
         "anti_join": _q_anti_join,
         "setops": _q_setops,
@@ -845,6 +858,13 @@ def oracle_sql() -> dict[str, str]:
           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
           AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
           AND l_quantity < 24
+    """
+    q["quantiles"] = """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.95), 6) AS p95,
+               round(quantile_cont(value, 0.99), 6) AS p99
+        FROM events GROUP BY event_type
     """
     q["semi_join"] = """
         SELECT o_orderpriority, count(*) AS order_count FROM orders o
