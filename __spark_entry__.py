@@ -358,6 +358,17 @@ def _q_tz_convert(spark, sf_dir):
 # them natively) — TPC-H-style analytics
 # ---------------------------------------------------------------------------
 
+def _q_charset(spark, sf_dir):
+    # P4: charset re-decoding (`charset`/`columns_charset`). The driver
+    # tables are ASCII, where ISO-8859-1→UTF-8 must be byte-faithful —
+    # the oracle is identity; non-ASCII correctness (umlauts through the
+    # same path) is pinned in tests/test_functions.py.
+    from logstash_integration_jdbc_spark.functions.charset import convert_charset
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "props")
+    return convert_charset(ev, columns_charset={"props": "ISO-8859-1"})
+
+
 def _q_quantiles(spark, sf_dir):
     # delegated SQL surface: exact interpolated percentiles per group
     # (telemetry latency-style aggregation); approx_percentile is the
@@ -602,6 +613,46 @@ def _q_media_stats(spark, sf_dir):
     return media_stats(gen_media(spark, n_rows=300))
 
 
+def _q_streaming_counts(spark, sf_dir):
+    # S8/§2.7: Structured Streaming availableNow run of the full
+    # parse→enrich→route pipeline (Spark checkpoint ≡ sql_last_value);
+    # returns per-sink counts of the committed sinks. Generated input +
+    # temp checkpoint → rows-only (no SQL twin for a streaming commit).
+    import os as _os
+    import tempfile as _tf
+
+    from logstash_integration_jdbc_spark.operators.lookup import Lookup, LookupProcessor
+    from logstash_integration_jdbc_spark.operators.router import Route, Router
+    from logstash_integration_jdbc_spark.sources.generator import (
+        gen_tool_dim,
+        gen_transcripts,
+    )
+    from logstash_integration_jdbc_spark.streaming.stream import run_streaming_pipeline
+
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    base = _tf.mkdtemp(prefix="stream-q-")
+    src = _os.path.join(base, "src")
+    gen_transcripts(spark, n_rows=5000, seed=42).write.mode("overwrite").parquet(src)
+    lk = Lookup(
+        id="tool_info", dim=gen_tool_dim(spark),
+        on=[("tool", "=", "tool")], parameters={"tool": "[tool_call]"},
+        select=["tool_name"],
+        default_hash={"tool_name": "unknown"},
+        tag_on_default_use=["_default"],
+    )
+    router = Router(
+        routes=[Route("parse_miss", ~F.col("parse_ok")),
+                Route("matched", F.col("parse_ok"))],
+        default_sink="failed",
+    )
+    run_streaming_pipeline(
+        spark, src, LookupProcessor([lk]), router,
+        _os.path.join(base, "out"), _os.path.join(base, "ckpt"),
+    )
+    sinks = spark.read.parquet(_os.path.join(base, "out", "sinks"))
+    return sinks.groupBy("sink").agg(F.count(F.lit(1)).alias("n"))
+
+
 def _q_transcript_pipeline(spark, sf_dir):
     # flagship parse→enrich→classify over the deterministic generated
     # transcript table (north_star shape); oracle-checked in pytest
@@ -652,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_latest_event": _q_latest_event,
         "sessionize": _q_sessionize,
         "asof_enrich": _q_asof_enrich,
+        "p4_charset": _q_charset,
         "quantiles": _q_quantiles,
         "semi_join": _q_semi_join,
         "anti_join": _q_anti_join,
@@ -674,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "multimodal_media_stats": _q_media_stats,
+        "streaming_counts": _q_streaming_counts,
         "transcript_pipeline": _q_transcript_pipeline,
     }
 
@@ -859,6 +912,7 @@ def oracle_sql() -> dict[str, str]:
           AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
           AND l_quantity < 24
     """
+    q["p4_charset"] = "SELECT event_id, props FROM events"
     q["quantiles"] = """
         SELECT event_type,
                round(quantile_cont(value, 0.5), 6) AS p50,
