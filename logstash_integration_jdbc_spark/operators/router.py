@@ -89,6 +89,7 @@ class Router:
         run_id: str | None = None,
         already_persisted: bool = False,
         extra_observe: dict[str, Column] | None = None,
+        pre_partitioned: bool = False,
     ) -> dict[str, int]:
         """Write every sink, hour-partitioned and salt-spread; returns counts.
 
@@ -122,8 +123,16 @@ class Router:
                 exprs.append(col.alias(alias))
             routed = routed.observe(obs, *exprs)
             all_parts = ["sink"] + part_cols
-            out = salted_repartition(routed, key=salt_col, n_salts=n_salts,
-                                     extra_cols=all_parts)
+            if pre_partitioned:
+                # caller already exchanged on (sink, bucket, salt) — e.g.
+                # the pipeline shuffles the LIGHT projection (raw columns
+                # + routing key) and re-derives the enrich payload after
+                # the exchange, so derived arrays/tags never cross the
+                # wire. Deterministic re-derivation ⇒ identical rows.
+                out = routed
+            else:
+                out = salted_repartition(routed, key=salt_col, n_salts=n_salts,
+                                         extra_cols=all_parts)
             out.write.mode("overwrite").partitionBy(*all_parts).format(fmt).save(base_dir)
             try:
                 got = dict(obs.get)

@@ -185,6 +185,12 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, Any]:
     # (sink, ts_hour, run_id). No persist — the parse/enrich stages are
     # map-only and recomputing them for the (tiny-output) aggregate pass
     # is the 100 TB-correct tradeoff vs caching the whole batch.
+    # (A light-shuffle variant — exchange raw columns + routing key only,
+    # re-derive parse/enrich post-exchange — was measured ~15% SLOWER
+    # end-to-end here: the extra regex pass + broadcast probes cost more
+    # than the ~25% smaller exchange payload saves on one box. Router's
+    # pre_partitioned flag keeps that shape available for deployments
+    # where network shuffle dominates.)
     # ALL per-stage lineage counters ride the write action as ONE
     # CollectMetrics node. One node, not one per stage: each observe()
     # splits whole-stage codegen, and three of them measured +90% wall on
