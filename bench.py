@@ -116,9 +116,11 @@ def main_bench() -> None:
     qs = entrymod.queries()
     per_query: dict[str, float] = {}
     total = 0.0
+    # warm JVM + file-listing caches out of band so the first query's
+    # number measures the query, not session boot
+    spark.read.parquet(f"{sf_dir}/events.parquet").limit(1).count()
     for name in HEADLINE:
         fn = qs[name]
-        # warm the file-listing cache out of band, then time plan+execute
         t0 = time.time()
         n = fn(spark, sf_dir).count()
         dt = time.time() - t0
