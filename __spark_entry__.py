@@ -24,11 +24,21 @@ from pyspark.sql import functions as F
 PARSE_RE = r"tool_call=(\S+) status=(\w+) dur_ms=([+-]?\d+)"
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # The driver supplies its own session: pin the runtime confs the
-    # oracles assume (non-ANSI null-on-miss semantics, UTC rendering).
+def _pin(spark: SparkSession) -> None:
+    """Pin the runtime confs every query/oracle pair assumes.
+
+    The driver supplies its own session; queries run in arbitrary order,
+    so each one pins (rather than mutates-and-restores) the confs: non-ANSI
+    null-on-miss semantics and UTC timestamp rendering. Uniform pinning —
+    every query function goes through here — keeps the session state
+    deterministic regardless of execution order.
+    """
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _pin(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -171,7 +181,13 @@ def _q_multi_lookup_gate(spark, sf_dir):
         LookupProcessor,
     )
 
-    li = _t(spark, sf_dir, "lineitem")
+    # Null out the supplier key on a deterministic slice so the invalid-
+    # parameter path (tag_on_failure + gate=false) appears in the expected
+    # output — the oracle can now fail if the OK gate regresses.
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "l_suppkey",
+        F.when(F.col("l_orderkey") % 97 == 0, F.lit(None)).otherwise(F.col("l_suppkey")),
+    )
     part = _t(spark, sf_dir, "part")
     supp = _t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") <= 50)
     proc = LookupProcessor([
@@ -609,7 +625,7 @@ def _q_media_stats(spark, sf_dir):
     # generated binary media table (no testdata media exists) → rows-only
     from logstash_integration_jdbc_spark.operators.multimodal import gen_media, media_stats
 
-    spark.conf.set("spark.sql.ansi.enabled", "false")
+    _pin(spark)
     return media_stats(gen_media(spark, n_rows=300))
 
 
@@ -629,7 +645,7 @@ def _q_streaming_counts(spark, sf_dir):
     )
     from logstash_integration_jdbc_spark.streaming.stream import run_streaming_pipeline
 
-    spark.conf.set("spark.sql.ansi.enabled", "false")
+    _pin(spark)
     base = _tf.mkdtemp(prefix="stream-q-")
     src = _os.path.join(base, "src")
     gen_transcripts(spark, n_rows=5000, seed=42).write.mode("overwrite").parquet(src)
@@ -664,7 +680,7 @@ def _q_transcript_pipeline(spark, sf_dir):
         gen_transcripts,
     )
 
-    spark.conf.set("spark.sql.ansi.enabled", "false")
+    _pin(spark)
     tr = gen_transcripts(spark, n_rows=5000, seed=42)
     parsed = parse_tool_calls(tr)
     lk = Lookup(
@@ -782,9 +798,17 @@ def oracle_sql() -> dict[str, str]:
     q["p2_target_nesting"] = "SELECT event_id, event_type FROM events"
     q["a1_count_guard"] = "SELECT count(*) AS n FROM orders"
     q["r3_multi_lookup_gate"] = """
-        SELECT TRUE AS lookups_ok, s.s_suppkey IS NOT NULL AS supp_found,
+        WITH li AS (
+            SELECT CASE WHEN l_orderkey % 97 = 0 THEN NULL
+                        ELSE l_suppkey END AS l_suppkey
+            FROM lineitem
+        )
+        SELECT l.l_suppkey IS NOT NULL AS lookups_ok,
+               -- invalid rows: Spark's size(NULL) = -1 (legacy non-ANSI)
+               -- so size(target) > 0 is FALSE, not NULL
+               coalesce(s.s_suppkey IS NOT NULL, FALSE) AS supp_found,
                count(*) AS n
-        FROM lineitem l
+        FROM li l
         LEFT JOIN (SELECT * FROM supplier WHERE s_suppkey <= 50) s
           ON l.l_suppkey = s.s_suppkey
         GROUP BY 1, 2
@@ -821,8 +845,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(user_id AS VARCHAR) AS conv_id,
                string_agg(event_type || ': ' || props, chr(10) ORDER BY CAST(event_id AS INT)) AS document,
                count(*) AS n_turns,
-               sum(CASE WHEN trim(props) = '' THEN 0
-                        ELSE len(regexp_split_to_array(trim(lower(props)), '\s+')) END) AS n_tokens,
+               -- DuckDB sum() yields HUGEINT (→ float64 via .df()); cast to
+               -- BIGINT so the value-hash matches Spark's bigint exactly
+               CAST(sum(CASE WHEN trim(props) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(lower(props)), '\s+')) END) AS BIGINT) AS n_tokens,
                strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_s,
                strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_s
         FROM events GROUP BY user_id
@@ -851,7 +877,7 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE rn = 1
     """
     q["sessionize"] = """
-        SELECT user_id, sum(new_sess) AS n_sessions FROM (
+        SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions FROM (
             SELECT user_id,
                    CASE WHEN lag(ts) OVER w IS NULL THEN 1
                         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
