@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -54,6 +55,14 @@ def asof_join(
     if clash:
         raise ValueError(f"right payload collides with left columns: {sorted(clash)}")
 
+    # Null-struct literals are built from StructType objects (not DDL
+    # strings) so exotic column names / nested types never break parsing.
+    r_struct = T.StructType([T.StructField(c, right.schema[c].dataType) for c in rpay])
+    l_struct = T.StructType([T.StructField(c, left.schema[c].dataType) for c in lpay])
+
+    # NULL `on` semantics match DuckDB ASOF / pandas merge_asof: a right
+    # row with NULL ts never matches anything (filtered before the union);
+    # a left row with NULL ts gets a null match (explicit override below).
     # __src orders right rows before left rows at equal timestamps →
     # inclusive match (right.ts == left.ts wins), DuckDB/pandas semantics.
     lrows = left.select(
@@ -61,16 +70,13 @@ def asof_join(
         F.col(on).alias("__on"),
         F.lit(1).alias("__src"),
         F.struct(*[F.col(c) for c in lpay]).alias("__l"),
-        F.lit(None).cast(
-            "struct<" + ",".join(f"`{c}`:{right.schema[c].dataType.simpleString()}"
-                                 for c in rpay) + ">"
-        ).alias("__r"),
+        F.lit(None).cast(r_struct).alias("__r"),
     )
-    rrows = right.select(
+    rrows = right.filter(F.col(on).isNotNull()).select(
         *[F.col(c) for c in by_cols],
         F.col(on).alias("__on"),
         F.lit(0).alias("__src"),
-        F.lit(None).cast(lrows.schema["__l"].dataType.simpleString()).alias("__l"),
+        F.lit(None).cast(l_struct).alias("__l"),
         F.struct(*[F.col(c) for c in rpay]).alias("__r"),
     )
     both = lrows.unionByName(rrows)
@@ -82,7 +88,10 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = both.withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+    match = F.when(F.col("__on").isNull(), F.lit(None).cast(r_struct)).otherwise(
+        F.last("__r", ignorenulls=True).over(w)
+    )
+    filled = both.withColumn("__match", match)
     return filled.filter(F.col("__src") == 1).select(
         *[F.col(f"__l.{c}").alias(c) for c in lpay],
         *[F.col(f"__match.{c}").alias(f"{right_prefix}{c}") for c in rpay],

@@ -137,15 +137,31 @@ def minhash_signature_udf(num_hashes: int = 64):
         n = len(sh)
         if n == 0:
             return pd.Series([], dtype=object)
-        lens = np.fromiter((len(x) for x in sh), dtype=np.int64, count=n)
-        flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in sh])
-        hm = flat % _P  # numpy % matches pmod (non-negative) for positive divisor
-        offsets = np.zeros(n, dtype=np.int64)
-        np.cumsum(lens[:-1], out=offsets[1:])
-        out = np.empty((n, num_hashes), dtype=np.int64)
-        for k in range(num_hashes):
-            out[:, k] = np.minimum.reduceat((hm * A[k] + B[k]) % _P, offsets)
-        return pd.Series(list(out))
+        # null/empty shingle arrays → [null]*num_hashes, matching the
+        # expression form (array_min over empty/null transform). Masked out
+        # before reduceat: a zero-length segment would otherwise alias the
+        # next row's first hash (or raise on a trailing empty row).
+        lens = np.fromiter((0 if x is None else len(x) for x in sh),
+                           dtype=np.int64, count=n)
+        nz = lens > 0
+        result: list = [None] * n
+        null_sig = [None] * num_hashes
+        for i in np.flatnonzero(~nz):
+            result[i] = null_sig
+        if nz.any():
+            flat = np.concatenate(
+                [np.asarray(x, dtype=np.int64) for x in sh if x is not None and len(x)]
+            )
+            hm = flat % _P  # numpy % matches pmod (non-negative) for positive divisor
+            m = int(nz.sum())
+            offsets = np.zeros(m, dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=offsets[1:])
+            out = np.empty((m, num_hashes), dtype=np.int64)
+            for k in range(num_hashes):
+                out[:, k] = np.minimum.reduceat((hm * A[k] + B[k]) % _P, offsets)
+            for j, i in enumerate(np.flatnonzero(nz)):
+                result[i] = out[j]
+        return pd.Series(result)
 
     _SIG_UDFS[num_hashes] = _sig
     return _sig

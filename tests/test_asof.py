@@ -75,3 +75,41 @@ def test_multi_key_by(spark, trades, quotes):
     out = {r.trade_id: r.price for r in
            asof_join(t2, q2, on="ts", by=["key", "venue"]).collect()}
     assert out[1] == 1.0 and out[5] is None
+
+
+def test_null_timestamps_never_match(spark):
+    """NULL `on` semantics = DuckDB ASOF / pandas merge_asof: a right row
+    with NULL ts matches nothing; a left row with NULL ts gets nulls."""
+    left = spark.createDataFrame(
+        [(1, "A", _ts("2024-01-01T01:00:00")), (2, "A", None)],
+        "trade_id bigint, key string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("A", None, 99.0), ("A", _ts("2024-01-01T00:30:00"), 1.0)],
+        "key string, ts timestamp, price double",
+    )
+    back = {r.trade_id: r.price for r in
+            asof_join(left, right, on="ts", by="key").collect()}
+    assert back == {1: 1.0, 2: None}
+    fwd_right = spark.createDataFrame(
+        [("A", None, 99.0), ("A", _ts("2024-01-01T02:00:00"), 2.0)],
+        "key string, ts timestamp, price double",
+    )
+    fwd = {r.trade_id: r.price for r in
+           asof_join(left, fwd_right, on="ts", by="key", direction="forward").collect()}
+    assert fwd == {1: 2.0, 2: None}
+
+
+def test_exotic_column_names(spark):
+    """Null-struct literals come from StructType objects, so spaces/commas
+    in column names survive."""
+    left = spark.createDataFrame(
+        [(1, "A", _ts("2024-01-01T01:00:00"))],
+        ["my col, odd:name", "key", "ts"],
+    )
+    right = spark.createDataFrame(
+        [("A", _ts("2024-01-01T00:00:00"), 5.0)],
+        ["key", "ts", "weird value"],
+    )
+    out = asof_join(left, right, on="ts", by="key").collect()
+    assert out[0]["weird value"] == 5.0 and out[0]["my col, odd:name"] == 1

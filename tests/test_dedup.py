@@ -113,3 +113,27 @@ def test_signature_udf_matches_expression_form(spark):
     assert len(both) == 50
     for r in both:
         assert r.expr_sig == list(r.udf_sig)
+
+
+def test_signature_udf_null_and_empty_rows(spark):
+    """Null/empty shingle arrays → [null]*n, same as the expression form;
+    the empty segment must not alias the next row's hashes (reduceat)."""
+    from logstash_integration_jdbc_spark.operators.dedup import (
+        minhash_signature,
+        minhash_signature_udf,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [5, 9]), (2, []), (3, None), (4, [7]), (5, [])],
+        "id int, sh array<bigint>",
+    ).repartition(1)
+    rows = df.select(
+        "id",
+        minhash_signature(F.col("sh"), 8).alias("expr_sig"),
+        minhash_signature_udf(8)(F.col("sh")).alias("udf_sig"),
+    ).collect()
+    assert len(rows) == 5
+    for r in rows:
+        expr = list(r.expr_sig) if r.expr_sig is not None else None
+        udf = list(r.udf_sig) if r.udf_sig is not None else None
+        assert expr == udf, r.id
