@@ -34,6 +34,29 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def _topk_per_query(scored: DataFrame, query_id: str, corpus_id: str, k: int) -> DataFrame:
+    """Two-phase per-query top-k over a (query_id, corpus_id, cosine) frame.
+
+    A single ``Window.partitionBy(query_id)`` funnels every score for a
+    query into ONE task — with a 100 TB corpus and a handful of queries
+    that is a single-task sort of billions of rows. Phase 1 ranks within
+    ``(query_id, spark_partition_id())`` so every task sorts only its own
+    slice and keeps ≤ k; phase 2 ranks the ≤ k×partitions survivors —
+    a tiny exchange. Identical results to the single-window form
+    (top-k of a union = top-k of per-part top-ks).
+    """
+    order = [F.desc("cosine"), F.asc(corpus_id)]
+    wl = Window.partitionBy(query_id, "__pid").orderBy(*order)
+    local = (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lrank", F.row_number().over(wl))
+        .filter(F.col("__lrank") <= k)
+        .drop("__pid", "__lrank")
+    )
+    w = Window.partitionBy(query_id).orderBy(*order)
+    return local.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -45,7 +68,7 @@ def cosine_topk(
     """Exact top-k by cosine for every query (brute force baseline).
 
     corpus × broadcast(queries) — map-only scoring over the corpus, then
-    a per-query top-k. Excludes self-matches when ids collide.
+    a two-phase per-query top-k. Excludes self-matches when ids collide.
     Returns (query_id, vec_id, cosine, rank).
     """
     q = queries.select(
@@ -57,11 +80,7 @@ def cosine_topk(
         corpus_id,
         cosine_expr(F.col(vec_col), F.col("__qvec")).alias("cosine"),
     ).filter(F.col(corpus_id) != F.col(query_id))
-    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _topk_per_query(scored, query_id, corpus_id, k)
 
 
 # -- sign-LSH ----------------------------------------------------------------
@@ -129,35 +148,82 @@ def lsh_topk(
         query_id, corpus_id,
         cosine_expr(F.col(vec_col), F.col("__qvec")).alias("cosine"),
     )
-    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _topk_per_query(scored, query_id, corpus_id, k)
 
 
 # -- IVF ----------------------------------------------------------------------
 
+def _centroid_sims(vec_col: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """array<struct<sim,centroid_id>> of cosine(vec, c) per literal centroid.
+
+    The centroid set is collected to the driver (tiny by definition) and
+    inlined as literal arrays, so per-row scoring is a pure map-side
+    projection — zero join, zero shuffle. Centroid norms are constants;
+    the row norm is computed once and reused across centroids.
+    """
+    row_norm = norm_expr(vec_col)
+    sims = []
+    for cid, cvec in cents:
+        cnorm = _seq_norm(cvec)
+        lit_vec = F.array(*[F.lit(float(x)) for x in cvec])
+        sims.append(F.struct(
+            (dot_expr(vec_col, lit_vec) / (row_norm * F.lit(cnorm))).alias("sim"),
+            F.lit(cid).alias("centroid_id"),
+        ))
+    return F.array(*sims)
+
+
+def _seq_norm(vec: list[float]) -> float:
+    """Sequential-sum L2 norm — same association order as norm_expr /
+    DuckDB list_sum, so driver-side constants stay bit-identical."""
+    acc = 0.0
+    for x in vec:
+        acc = acc + float(x) * float(x)
+    return acc ** 0.5
+
+
+def _collect_centroids(corpus: DataFrame, n_centroids: int,
+                       corpus_id: str, vec_col: str) -> list[tuple[int, list[float]]]:
+    rows = (
+        corpus.orderBy(corpus_id).limit(n_centroids)
+        .select(F.col(corpus_id).alias("centroid_id"), F.col(vec_col).alias("cvec"))
+        .collect()
+    )
+    return [(r["centroid_id"], list(r["cvec"])) for r in rows]
+
+
 def ivf_index(corpus: DataFrame, n_centroids: int = 16,
-              corpus_id: str = "vec_id", vec_col: str = "embedding") -> tuple[DataFrame, DataFrame]:
+              corpus_id: str = "vec_id", vec_col: str = "embedding",
+              _cents: list[tuple[int, list[float]]] | None = None) -> tuple[DataFrame, DataFrame]:
     """Assign each corpus vector to its nearest centroid (one map pass).
 
     Centroids: the vectors with the n_centroids smallest ids —
     deterministic, no iterative k-means (a production system would run a
-    few Lloyd iterations the same way: broadcast centroids, re-assign,
-    re-average; assignment is the part that matters for the plan shape).
+    few Lloyd iterations the same way: collect/broadcast centroids,
+    re-assign, re-average; assignment is the part that matters for the
+    plan shape). Assignment is a map-side argmax over the literal
+    centroid array — ``array_max`` on (sim, -centroid_id) structs — NOT a
+    crossJoin + per-row window, which would shuffle |corpus|×n_centroids
+    rows just to take an argmax. Ties break to the smallest centroid_id.
     Returns (assigned_corpus, centroids).
     """
-    centroids = (
-        corpus.orderBy(corpus_id).limit(n_centroids)
-        .select(F.col(corpus_id).alias("centroid_id"), F.col(vec_col).alias("__cvec"))
+    cents = _cents if _cents is not None else _collect_centroids(
+        corpus, n_centroids, corpus_id, vec_col)
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        [(cid, cvec) for cid, cvec in cents],
+        f"centroid_id long, __cvec {dict(corpus.dtypes)[vec_col]}",
     )
-    assigned = (
-        corpus.crossJoin(F.broadcast(centroids))
-        .withColumn("__sim", cosine_expr(F.col(vec_col), F.col("__cvec")))
-    )
-    w = Window.partitionBy(corpus_id).orderBy(F.desc("__sim"), F.asc("centroid_id"))
-    assigned = (
-        assigned.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(corpus_id, vec_col, "centroid_id")
+    best = F.array_max(F.transform(
+        _centroid_sims(F.col(vec_col), cents),
+        lambda s: F.struct(
+            s["sim"].alias("sim"),
+            (-s["centroid_id"]).alias("__negid"),
+            s["centroid_id"].alias("centroid_id"),
+        ),
+    ))
+    assigned = corpus.select(
+        F.col(corpus_id), F.col(vec_col), best["centroid_id"].alias("centroid_id")
     )
     return assigned, centroids
 
@@ -176,20 +242,26 @@ def ivf_topk(
 
     At scale the assigned corpus is written bucketed/partitioned by
     centroid_id so a probe prunes partitions; here the join on
-    centroid_id expresses the same pruning.
+    centroid_id expresses the same pruning. Probe selection is the same
+    map-side literal-centroid scoring as assignment (sort the per-query
+    sim array, slice n_probe) — no crossJoin, no window.
     """
-    assigned, centroids = ivf_index(corpus, n_centroids, corpus_id, vec_col)
+    cents = _collect_centroids(corpus, n_centroids, corpus_id, vec_col)
+    assigned, _ = ivf_index(corpus, n_centroids, corpus_id, vec_col, _cents=cents)
     q = queries.select(F.col(query_id), F.col(vec_col).alias("__qvec"))
-    qc = (
-        q.crossJoin(F.broadcast(centroids))
-        .withColumn("__sim", cosine_expr(F.col("__qvec"), F.col("__cvec")))
+    # sort by (-sim, centroid_id) ascending ≡ sim DESC, centroid_id ASC
+    probe_arr = F.slice(
+        F.sort_array(F.transform(
+            _centroid_sims(F.col("__qvec"), cents),
+            lambda s: F.struct((-s["sim"]).alias("negsim"),
+                               s["centroid_id"].alias("centroid_id")),
+        )),
+        1, n_probe,
     )
-    w = Window.partitionBy(query_id).orderBy(F.desc("__sim"), F.asc("centroid_id"))
-    probes = (
-        qc.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= n_probe)
-        .select(query_id, "centroid_id", "__qvec")
-    )
+    probes = q.select(
+        query_id, "__qvec",
+        F.explode(probe_arr).alias("__p"),
+    ).select(query_id, "__qvec", F.col("__p.centroid_id").alias("centroid_id"))
     cand = assigned.join(F.broadcast(probes), "centroid_id").filter(
         F.col(corpus_id) != F.col(query_id)
     )
@@ -197,5 +269,4 @@ def ivf_topk(
         query_id, corpus_id,
         cosine_expr(F.col(vec_col), F.col("__qvec")).alias("cosine"),
     )
-    w2 = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
-    return scored.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)
+    return _topk_per_query(scored, query_id, corpus_id, k)
