@@ -610,12 +610,23 @@ def _q_ann_ivf_topk(spark, sf_dir):
 
 
 def _q_embedding_near_dup(spark, sf_dir):
+    # The companion corpus is PERTURBED, not copied: even dims ×1.35, odd
+    # ×0.65 → cosine(v, v') ≈ 1/√(1+0.35²) ≈ 0.94…0.96 depending on the
+    # even/odd energy split — pairs straddle the 0.95 threshold, so the
+    # O(n²) oracle genuinely exercises near (not exact) duplicate recall.
     from logstash_integration_jdbc_spark.operators.dedup import embedding_near_dups
 
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    both = emb.unionByName(emb.withColumn("vec_id", F.col("vec_id") + 100_000))
+    pert = emb.select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * F.when(i % 2 == 0, F.lit(1.35)).otherwise(F.lit(0.65)),
+        ).alias("embedding"),
+    )
+    both = emb.select("vec_id", "embedding").unionByName(pert)
     return embedding_near_dups(both, min_cosine=0.95).select(
         "id_a", "id_b", F.round("cosine", 4).alias("cos4")
     )
@@ -1146,7 +1157,12 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
         ), bb AS (
             SELECT vec_id, v FROM e
-            UNION ALL SELECT vec_id + 100000, v FROM e
+            UNION ALL
+            SELECT vec_id + 100000,
+                   list_transform(range(1, len(v) + 1),
+                                  i -> v[i] * CASE WHEN (i - 1) % 2 = 0
+                                                   THEN 1.35 ELSE 0.65 END) AS v
+            FROM e
         ), pairs AS (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))

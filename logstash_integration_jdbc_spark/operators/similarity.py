@@ -14,8 +14,10 @@ fixed hash coefficients.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -109,6 +111,52 @@ def hyperplane_sketch(vec: Column, bits: int = 16) -> Column:
         )
         out = out + F.when(d > 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0))
     return out
+
+
+_SKETCH_UDFS: dict[int, object] = {}
+
+
+def hyperplane_sketch_udf(bits: int = 64):
+    """Arrow pandas UDF computing the SAME sign sketch as
+    ``hyperplane_sketch`` for any width up to 64, via one numpy matmul.
+
+    The batch's vectors stack into an (n × d) matrix multiplied against
+    the deterministic (d × bits) plane matrix (same ``_plane_coeff``
+    coefficients as the expression form) — BLAS does the work, no
+    per-row Python. This is the production path: the expression form
+    builds ``bits`` interpreted zip_with/aggregate trees, fine for 16
+    bits, pathological for 64.
+    """
+    if bits in _SKETCH_UDFS:
+        return _SKETCH_UDFS[bits]
+
+    import numpy as np
+
+    planes: dict[int, "np.ndarray"] = {}
+
+    def plane_matrix(dim: int) -> "np.ndarray":
+        if dim not in planes:
+            planes[dim] = np.array(
+                [[_plane_coeff(i, j) for i in range(bits)] for j in range(dim)],
+                dtype=np.float64,
+            )
+        return planes[dim]
+
+    @pandas_udf("long")
+    def _sketch(vs: pd.Series) -> pd.Series:
+        n = len(vs)
+        if n == 0:
+            return pd.Series([], dtype="int64")
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        dots = mat @ plane_matrix(mat.shape[1])
+        sign_bits = (dots > 0).astype(np.uint64)
+        out = np.zeros(n, dtype=np.uint64)
+        for i in range(bits):
+            out |= sign_bits[:, i] << np.uint64(i)
+        return pd.Series(out.view(np.int64))
+
+    _SKETCH_UDFS[bits] = _sketch
+    return _sketch
 
 
 def lsh_topk(

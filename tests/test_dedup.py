@@ -137,3 +137,44 @@ def test_signature_udf_null_and_empty_rows(spark):
         expr = list(r.expr_sig) if r.expr_sig is not None else None
         udf = list(r.udf_sig) if r.udf_sig is not None else None
         assert expr == udf, r.id
+
+
+def test_embedding_near_dup_recall_on_true_near_pairs(spark):
+    """Recall bound on genuinely-near (NOT identical) pairs: perturb the
+    real embeddings (even dims ×1.35, odd ×0.65 → cosine ≈ 0.94-0.96) and
+    compare against the exact numpy O(n²) answer. Round-1's full-sketch-
+    equality blocking kept only ~18% of 0.95-pairs; the multi-probe chunk
+    blocking must achieve ≥0.95 recall (in practice 1.0 on this corpus)."""
+    import numpy as np
+
+    from logstash_integration_jdbc_spark.operators.dedup import embedding_near_dups
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    ).select("vec_id", "embedding")
+    pert = emb.select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * F.when(i % 2 == 0, F.lit(1.35)).otherwise(F.lit(0.65)),
+        ).alias("embedding"),
+    )
+    both = emb.unionByName(pert)
+    got = {(r.id_a, r.id_b) for r in
+           embedding_near_dups(both, min_cosine=0.95).collect()}
+
+    rows = sorted(both.collect(), key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows])
+    M = np.array([r.embedding for r in rows])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    cos = Mn @ Mn.T
+    iu = np.triu_indices(len(ids), k=1)
+    want = {(int(ids[i]), int(ids[j]))
+            for i, j in zip(*iu) if cos[i, j] >= 0.95 - 1e-9}
+    # no false positives beyond float-boundary pairs, recall >= 0.95
+    boundary = {(int(ids[i]), int(ids[j]))
+                for i, j in zip(*iu) if abs(cos[i, j] - 0.95) < 1e-9}
+    assert not (got - want - boundary)
+    assert want, "fixture must contain true near-dup pairs"
+    recall = len(got & want) / len(want)
+    assert recall >= 0.95, f"recall {recall:.3f} on {len(want)} true pairs"

@@ -77,3 +77,25 @@ def test_topk_rank_is_dense_and_ordered(emb, queries):
     for q, rs in by_q.items():
         assert [r.rank for r in rs] == [1, 2, 3]
         assert rs[0].cosine >= rs[1].cosine >= rs[2].cosine
+
+
+def test_sketch_udf_matches_expression_form(spark):
+    """The numpy-matmul sketch UDF must equal the expression-form sketch
+    bit-for-bit (same deterministic hyperplanes) at 16 bits."""
+    from pyspark.sql import functions as F
+
+    from logstash_integration_jdbc_spark.operators.similarity import (
+        hyperplane_sketch,
+        hyperplane_sketch_udf,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    ).limit(64)
+    rows = emb.select(
+        hyperplane_sketch(F.col("embedding"), 16).alias("expr_sk"),
+        hyperplane_sketch_udf(16)(F.col("embedding")).alias("udf_sk"),
+    ).collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert r.expr_sk == r.udf_sk
