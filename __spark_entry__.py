@@ -166,6 +166,22 @@ def _q_param_sql(spark, sf_dir):
     )
 
 
+def _q_positional_sql(spark, sf_dir):
+    # S6 (positional parity): ordered `?` binds with a ":sql_last_value"
+    # entry substituted from the tracker, statement_handler.rb:126-174.
+    from logstash_integration_jdbc_spark.sources.scan import load_testdata, run_statement
+
+    _pin(spark)
+    load_testdata(spark, sf_dir, "events")
+    return run_statement(
+        spark,
+        "SELECT event_id, event_type FROM events "
+        "WHERE value > ? AND ts > ? ORDER BY event_id LIMIT 500",
+        [120.0, ":sql_last_value"],
+        sql_last_value="2024-01-15 00:00:00",
+    )
+
+
 def _q_count_guard(spark, sf_dir):
     # A1: the loader's count(*) guard as a first-class aggregate
     return _t(spark, sf_dir, "orders").agg(F.count(F.lit(1)).alias("n"))
@@ -717,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_incremental_scan": _q_incremental_scan,
         "a2_max_watermark": _q_max_watermark,
         "s6_param_sql": _q_param_sql,
+        "s6_positional_sql": _q_positional_sql,
         "p2_target_nesting": _q_target_nesting,
         "a1_count_guard": _q_count_guard,
         "r3_multi_lookup_gate": _q_multi_lookup_gate,
@@ -805,6 +822,11 @@ def oracle_sql() -> dict[str, str]:
     q["s6_param_sql"] = """
         SELECT event_id, value AS val FROM events
         WHERE event_type = 'purchase' AND value > 100.0
+    """
+    q["s6_positional_sql"] = """
+        SELECT event_id, event_type FROM events
+        WHERE value > 120.0 AND ts > TIMESTAMP '2024-01-15 00:00:00'
+        ORDER BY event_id LIMIT 500
     """
     q["p2_target_nesting"] = "SELECT event_id, event_type FROM events"
     q["a1_count_guard"] = "SELECT count(*) AS n FROM orders"

@@ -22,45 +22,202 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+# Base pattern registry — the standard logstash-grok names, re-expressed
+# (logstash-patterns-core semantics, own formulation; alternations are
+# self-wrapped in (?:) so a capture around a reference stays one group;
+# no lookbehinds/atomic groups so the compiled regex also runs under
+# Python `re` for oracle tests). User additions come in per-parser via
+# ``pattern_definitions`` (grok filter's option of the same name).
 GROK_PATTERNS: dict[str, str] = {
-    "WORD": r"\w+",
+    # words / numbers
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "USER": r"%{USERNAME}",
+    "WORD": r"\b\w+\b",
     "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
     "DATA": r".*?",
     "GREEDYDATA": r".*",
     "INT": r"[+-]?\d+",
-    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
-    "IP": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
-    "UUID": r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+    "BASE10NUM": r"[+-]?(?:\d+(?:\.\d+)?|\.\d+)",
+    "NUMBER": r"%{BASE10NUM}",
+    "BASE16NUM": r"(?:0[xX])?[0-9a-fA-F]+",
+    "POSINT": r"\b[1-9][0-9]*\b",
+    "NONNEGINT": r"\b[0-9]+\b",
+    "QUOTEDSTRING": r"""(?:"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')""",
+    "QS": r"%{QUOTEDSTRING}",
+    "UUID": r"[0-9a-fA-F]{8}-(?:[0-9a-fA-F]{4}-){3}[0-9a-fA-F]{12}",
+    "EMAILLOCALPART": r"[a-zA-Z0-9!#$%&'*+\-/=?^_`{|}~.]+",
+    "EMAILADDRESS": r"%{EMAILLOCALPART}@%{HOSTNAME}",
+    # networking
+    "COMMONMAC": r"(?:[0-9a-fA-F]{2}:){5}[0-9a-fA-F]{2}",
+    "CISCOMAC": r"(?:[0-9a-fA-F]{4}\.){2}[0-9a-fA-F]{4}",
+    "WINDOWSMAC": r"(?:[0-9a-fA-F]{2}-){5}[0-9a-fA-F]{2}",
+    "MAC": r"(?:%{CISCOMAC}|%{WINDOWSMAC}|%{COMMONMAC})",
+    "IPV4": r"(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)(?:\.(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)){3}",
+    "IPV6": r"(?:(?:[0-9A-Fa-f]{1,4}:){1,7}(?:[0-9A-Fa-f]{1,4}|:)|::(?:[0-9A-Fa-f]{1,4}:)*[0-9A-Fa-f]{0,4})",
+    "IP": r"(?:%{IPV6}|%{IPV4})",
+    "HOSTNAME": r"\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\.?\b",
+    "IPORHOST": r"(?:%{IP}|%{HOSTNAME})",
+    "HOSTPORT": r"%{IPORHOST}:%{POSINT}",
+    # paths / uris
+    "UNIXPATH": r"(?:/[\w@%!$:.,+~-]*)+",
+    "WINPATH": r"(?:[A-Za-z]:|\\)(?:\\[^\\?*]*)+",
+    "PATH": r"(?:%{UNIXPATH}|%{WINPATH})",
+    "TTY": r"/dev/(?:pts|tty[pq]?)\w*",
+    "URIPROTO": r"[A-Za-z][A-Za-z0-9+.-]*",
+    "URIHOST": r"%{IPORHOST}(?::%{POSINT})?",
+    "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#_%-]*)+",
+    "URIPARAM": r"\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\[\]-]*",
+    "URIPATHPARAM": r"%{URIPATH}(?:%{URIPARAM})?",
+    "URI": r"%{URIPROTO}://(?:%{USER}(?::[^@]*)?@)?(?:%{URIHOST})?(?:%{URIPATHPARAM})?",
+    # dates / times
+    "MONTH": r"\b(?:Jan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?|May|Jun(?:e)?|Jul(?:y)?|Aug(?:ust)?|Sep(?:tember)?|Oct(?:ober)?|Nov(?:ember)?|Dec(?:ember)?)\b",
+    "MONTHNUM": r"(?:0?[1-9]|1[0-2])",
+    "MONTHDAY": r"(?:0[1-9]|[12][0-9]|3[01]|[1-9])",
+    "DAY": r"(?:Mon(?:day)?|Tue(?:sday)?|Wed(?:nesday)?|Thu(?:rsday)?|Fri(?:day)?|Sat(?:urday)?|Sun(?:day)?)",
+    "YEAR": r"(?:\d\d){1,2}",
+    "HOUR": r"(?:2[0123]|[01]?[0-9])",
+    "MINUTE": r"[0-5][0-9]",
+    "SECOND": r"(?:[0-5]?[0-9]|60)(?:[:.,][0-9]+)?",
+    "TIME": r"%{HOUR}:%{MINUTE}(?::%{SECOND})?",
+    "DATE_US": r"%{MONTHNUM}[/-]%{MONTHDAY}[/-]%{YEAR}",
+    "DATE_EU": r"%{MONTHDAY}[./-]%{MONTHNUM}[./-]%{YEAR}",
+    "ISO8601_TIMEZONE": r"(?:Z|[+-]%{HOUR}(?::?%{MINUTE}))",
+    "ISO8601_SECOND": r"%{SECOND}",
+    "TIMESTAMP_ISO8601": r"%{YEAR}-%{MONTHNUM}-%{MONTHDAY}[T ]%{HOUR}:?%{MINUTE}(?::?%{SECOND})?%{ISO8601_TIMEZONE}?",
+    "DATE": r"(?:%{DATE_US}|%{DATE_EU})",
+    "DATESTAMP": r"%{DATE}[- ]%{TIME}",
+    "TZ": r"[A-Z]{1,4}T",
+    "DATESTAMP_RFC822": r"%{DAY} %{MONTH} %{MONTHDAY} %{YEAR} %{TIME} %{TZ}",
+    "DATESTAMP_RFC2822": r"%{DAY}, %{MONTHDAY} %{MONTH} %{YEAR} %{TIME} %{ISO8601_TIMEZONE}",
+    "DATESTAMP_OTHER": r"%{DAY} %{MONTH} %{MONTHDAY} %{TIME} %{TZ} %{YEAR}",
+    "DATESTAMP_EVENTLOG": r"%{YEAR}%{MONTHNUM}%{MONTHDAY}%{HOUR}%{MINUTE}%{SECOND}",
+    "SYSLOGTIMESTAMP": r"%{MONTH} +%{MONTHDAY} %{TIME}",
+    "HTTPDATE": r"%{MONTHDAY}/%{MONTH}/%{YEAR}:%{TIME} %{INT}",
+    # syslog / logs
+    "PROG": r"[\w._/%-]+",
+    "SYSLOGPROG": r"%{PROG:program}(?:\[%{POSINT:pid}\])?",
+    "SYSLOGHOST": r"%{IPORHOST}",
+    "SYSLOGFACILITY": r"<%{NONNEGINT:facility}.%{NONNEGINT:priority}>",
+    "SYSLOGBASE": r"%{SYSLOGTIMESTAMP:timestamp} (?:%{SYSLOGFACILITY} )?%{SYSLOGHOST:logsource} %{SYSLOGPROG}:",
+    "LOGLEVEL": r"(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE|[Ii]nfo(?:rmation)?|INFO|[Ww]arn(?:ing)?|WARN(?:ING)?|[Ee]rr(?:or)?|ERR(?:OR)?|[Cc]rit(?:ical)?|CRIT(?:ICAL)?|[Ff]atal|FATAL|[Ss]evere|SEVERE|EMERG(?:ENCY)?|[Ee]merg(?:ency)?)",
+    "COMMONAPACHELOG": (
+        r'%{IPORHOST:clientip} %{USER:ident} %{USER:auth} \[%{HTTPDATE:timestamp}\] '
+        r'"(?:%{WORD:verb} %{NOTSPACE:request}(?: HTTP/%{NUMBER:httpversion})?|%{DATA:rawrequest})" '
+        r"%{NONNEGINT:response} (?:%{NONNEGINT:bytes}|-)"
+    ),
+    "COMBINEDAPACHELOG": r"%{COMMONAPACHELOG} %{QS:referrer} %{QS:agent}",
 }
 
-_GROK_REF = re.compile(r"%\{(\w+):(\w+)\}")
+# %{NAME}, %{NAME:field} or %{NAME:field:type} (grok inline type)
+_GROK_REF = re.compile(r"%\{(\w+)(?::([\w\[\]@.]+))?(?::(\w+))?\}")
+
+_INLINE_TYPES = {"int": "int", "long": "bigint", "float": "double", "double": "double"}
+
+# ASCII "group separator" — delimits captures in the single-pass
+# extraction; see GrokParser.extract_all for the pathological-input note.
+_SEP = "\x1d"
+
+
+def _count_captures(s: str) -> int:
+    """Capturing groups in a raw regex fragment.
+
+    Counts unescaped ``(`` not followed by ``?``. Literal segments of a
+    grok pattern are regex (grok semantics); users should write ``(?:``
+    for grouping — Java named groups in literal segments are unsupported.
+    """
+    n = 0
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == "(" and (i + 1 >= len(s) or s[i + 1] != "?"):
+            n += 1
+        i += 1
+    return n
+
+
+def compile_grok(pattern: str, registry: dict[str, str] | None = None
+                 ) -> tuple[str, list[tuple[str, int, str | None]]]:
+    """Grok → (java_regex, [(field, group_index, inline_type)]).
+
+    ``%{NAME:field}`` references expand recursively (cycle-checked);
+    references without a field become non-capturing groups; nested named
+    captures inside base patterns (e.g. SYSLOGPROG's ``pid``) are
+    resolved to their absolute group index. Literal segments pass through
+    as regex, matching grok semantics.
+    """
+    reg = registry if registry is not None else GROK_PATTERNS
+    parts: list[str] = []
+    fields: list[tuple[str, int, str | None]] = []
+    ngroups = 0
+
+    def emit_raw(s: str) -> None:
+        nonlocal ngroups
+        parts.append(s)
+        ngroups += _count_captures(s)
+
+    def walk(pat: str, stack: tuple[str, ...]) -> None:
+        nonlocal ngroups
+        pos = 0
+        for m in _GROK_REF.finditer(pat):
+            emit_raw(pat[pos : m.start()])
+            name, fname, ftype = m.group(1), m.group(2), m.group(3)
+            if name not in reg:
+                raise ValueError(f"unknown grok pattern %{{{name}}}")
+            if name in stack:
+                raise ValueError(f"recursive grok pattern %{{{name}}}")
+            if fname:
+                ngroups += 1
+                fields.append((fname, ngroups, _INLINE_TYPES.get(ftype) if ftype else None))
+                parts.append("(")
+                walk(reg[name], stack + (name,))
+                parts.append(")")
+            else:
+                parts.append("(?:")
+                walk(reg[name], stack + (name,))
+                parts.append(")")
+            pos = m.end()
+        emit_raw(pat[pos:])
+
+    walk(pattern, ())
+    return "".join(parts), fields
 
 
 class GrokParser:
-    """Compile a grok pattern into Catalyst extraction expressions."""
+    """Compile a grok pattern into Catalyst extraction expressions.
 
-    def __init__(self, pattern: str, types: dict[str, str] | None = None) -> None:
+    ``pattern_definitions`` mirrors the grok filter option: extra
+    ``NAME → regex`` entries that may themselves reference other
+    patterns. Inline types (``%{INT:dur:int}``) and the ``types``
+    argument both cast captures; ``types`` wins on conflict.
+    """
+
+    def __init__(self, pattern: str, types: dict[str, str] | None = None,
+                 pattern_definitions: dict[str, str] | None = None) -> None:
         self.pattern = pattern
-        self.types = types or {}
-        self.fields: list[str] = []
-        regex = ""
-        pos = 0
-        for m in _GROK_REF.finditer(pattern):
-            regex += re.escape(pattern[pos : m.start()])
-            gname, fname = m.group(1), m.group(2)
-            if gname not in GROK_PATTERNS:
-                raise ValueError(f"unknown grok pattern %{{{gname}}}")
-            regex += f"({GROK_PATTERNS[gname]})"
-            self.fields.append(fname)
-            pos = m.end()
-        regex += re.escape(pattern[pos:])
-        self.regex = regex
+        registry = dict(GROK_PATTERNS)
+        if pattern_definitions:
+            registry.update(pattern_definitions)
+        self.regex, self.field_list = compile_grok(pattern, registry)
+        if not self.field_list:
+            raise ValueError(f"grok pattern has no captures: {pattern!r}")
+        self.fields = [f for f, _, _ in self.field_list]
+        self.types = {f: t for f, _, t in self.field_list if t}
+        self.types.update(types or {})
 
     def extract(self, col: Column) -> dict[str, Column]:
-        """field name → typed extracted Column (null when no match)."""
+        """field name → typed extracted Column (null when no match).
+
+        Per-field ``regexp_extract`` — k regex executions per row. The
+        hot path is :meth:`extract_all` (one execution); this form stays
+        for single-field patterns and API compatibility.
+        """
         out: dict[str, Column] = {}
-        for i, fname in enumerate(self.fields, start=1):
-            c = F.regexp_extract(col, self.regex, i)
+        for fname, gidx, _ in self.field_list:
+            c = F.regexp_extract(col, self.regex, gidx)
             # regexp_extract returns '' on miss; normalize to null like a
             # grok miss leaves the field unset.
             c = F.when(c == "", F.lit(None)).otherwise(c)
@@ -70,13 +227,42 @@ class GrokParser:
             out[fname] = c
         return out
 
+    def extract_all(self, col: Column) -> tuple[Column, dict[str, Column]]:
+        """(matched, field → Column) with ONE regex execution per row.
+
+        The whole string is rewritten to ``SEP$g1SEP$g2…`` via an
+        anchored ``regexp_replace`` ([\\s\\S] spans newlines without
+        turning on dotall inside the user pattern); no match leaves the
+        input untouched, so ``matched ≡ result != input``. Splitting on
+        the ASCII group-separator recovers every capture — k-1 fewer
+        regex executions than :meth:`extract` per row. Pathological
+        inputs containing \\x1d can mis-split (documented; log text
+        never does — fall back to :meth:`extract` if yours can).
+
+        Match semantics are grok's: matched ⇔ the regex matched, even if
+        an optional/empty-capable capture is empty.
+        """
+        repl = _SEP + _SEP.join(f"${g}" for _, g, _ in self.field_list)
+        wrapped = r"\A[\s\S]*?(?:" + self.regex + r")[\s\S]*\Z"
+        res = F.regexp_replace(col, wrapped, repl)
+        matched = res != col
+        parts = F.split(res, _SEP)
+        out: dict[str, Column] = {}
+        for i, (fname, _, _) in enumerate(self.field_list):
+            c = F.element_at(parts, i + 2)
+            c = F.when(matched & (c != ""), c)
+            t = self.types.get(fname)
+            if t:
+                c = c.cast(t)
+            out[fname] = c
+        return matched, out
+
     def apply(self, df: DataFrame, text_col: str = "text",
               matched_col: str = "parse_ok") -> DataFrame:
-        cols = self.extract(F.col(text_col))
+        matched, cols = self.extract_all(F.col(text_col))
         for name, c in cols.items():
             df = df.withColumn(name, c)
-        first = self.fields[0]
-        return df.withColumn(matched_col, F.col(first).isNotNull())
+        return df.withColumn(matched_col, matched)
 
 
 # The transcript payload pattern baked into the generator/fixtures.
@@ -102,8 +288,9 @@ class GrokPipeline:
 
     def __init__(self, patterns: list[str], types: dict[str, str] | None = None,
                  tag_on_failure: tuple[str, ...] = ("_grokparsefailure",),
-                 break_on_match: bool = True) -> None:
-        self.parsers = [GrokParser(p, types) for p in patterns]
+                 break_on_match: bool = True,
+                 pattern_definitions: dict[str, str] | None = None) -> None:
+        self.parsers = [GrokParser(p, types, pattern_definitions) for p in patterns]
         self.tag_on_failure = list(tag_on_failure)
         self.break_on_match = break_on_match
         self.fields: list[str] = []
@@ -115,12 +302,11 @@ class GrokPipeline:
     def apply(self, df: DataFrame, text_col: str = "text",
               matched_col: str = "parse_ok", tags_col: str = "tags") -> DataFrame:
         text = F.col(text_col)
-        per_parser = [p.extract(text) for p in self.parsers]
-        matches = [
-            # a parser "matched" when its first capture is non-null
-            cols[p.fields[0]].isNotNull()
-            for p, cols in zip(self.parsers, per_parser)
-        ]
+        # single-pass extraction per parser: one regex execution each,
+        # true grok match semantics (matched ⇔ regex matched)
+        results = [p.extract_all(text) for p in self.parsers]
+        matches = [m for m, _ in results]
+        per_parser = [cols for _, cols in results]
         if self.break_on_match:
             # first matching pattern wins for ALL its fields
             for f_ in self.fields:

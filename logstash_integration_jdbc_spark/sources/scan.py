@@ -126,10 +126,34 @@ def read_statement_file(path: str) -> str:
         return f.read().strip()
 
 
-def run_statement(spark: SparkSession, statement: str, params: dict[str, Any] | None = None) -> DataFrame:
+def run_statement(
+    spark: SparkSession,
+    statement: str,
+    params: dict[str, Any] | list[Any] | tuple[Any, ...] | None = None,
+    sql_last_value: Any = None,
+) -> DataFrame:
     """S6: prepared-statement analog — parameterized spark.sql.
 
-    Named parameters replace the reference's positional ``?`` binds and
-    ``:sql_last_value`` substitution; Spark binds them safely (no string
-    splicing, no injection)."""
+    Two schemes, both bound safely by Spark (no string splicing, no
+    injection):
+
+    - named: ``params`` dict → ``:name`` markers;
+    - positional (reference parity): ``params`` list/tuple → ordered
+      ``?`` markers, where a literal ``":sql_last_value"`` entry is
+      substituted with ``sql_last_value`` before binding
+      (statement_handler.rb:126-174 ``positional_bind_mapping``).
+
+    Positional validation mirrors the reference's register check
+    (jdbc.rb:361-370): the number of ``?`` markers must equal the number
+    of bind values, else a configuration error.
+    """
+    if isinstance(params, (list, tuple)):
+        if statement.count("?") != len(params):
+            raise ValueError(
+                "there is a mismatch between the number of statement `?` "
+                f"placeholders ({statement.count('?')}) and bind values "
+                f"({len(params)})"
+            )
+        binds = [sql_last_value if p == ":sql_last_value" else p for p in params]
+        return spark.sql(statement, args=binds)
     return spark.sql(statement, args=params or {})

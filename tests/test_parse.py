@@ -51,3 +51,75 @@ def test_pandas_udf_fallback_extracts_map(spark):
     rows = df.select(udf("text").alias("m")).collect()
     assert rows[0].m == {"status": "ok", "dur_ms": "5"}
     assert rows[1].m is None
+
+
+def test_grok_registry_timestamp_iso8601(spark):
+    p = GrokParser("%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:lvl} %{GREEDYDATA:msg}")
+    df = spark.createDataFrame(
+        [("2024-03-01T12:34:56.789Z ERROR disk on fire",),
+         ("2024-03-01 12:34:56 INFO ok",),
+         ("not a log line",)],
+        "text string",
+    )
+    rows = {r.text: r for r in p.apply(df).collect()}
+    r1 = rows["2024-03-01T12:34:56.789Z ERROR disk on fire"]
+    assert r1.ts == "2024-03-01T12:34:56.789Z" and r1.lvl == "ERROR"
+    assert r1.msg == "disk on fire" and r1.parse_ok
+    assert rows["2024-03-01 12:34:56 INFO ok"].lvl == "INFO"
+    assert not rows["not a log line"].parse_ok
+
+
+def test_grok_pattern_definitions_and_inline_types(spark):
+    p = GrokParser(
+        "%{TICKET:ticket} took %{INT:ms:int}ms",
+        pattern_definitions={"TICKET": r"[A-Z]{2,5}-%{POSINT}"},
+    )
+    df = spark.createDataFrame([("deploy JIRA-123 took 45ms",)], "text string")
+    r = p.apply(df).first()
+    assert r.ticket == "JIRA-123" and r.ms == 45 and isinstance(r.ms, int)
+
+
+def test_grok_nested_named_captures(spark):
+    # SYSLOGPROG expands to %{PROG:program}(\[%{POSINT:pid}\])? — nested
+    # fields must land on their absolute group indices
+    p = GrokParser("%{SYSLOGPROG:prog_raw}: %{GREEDYDATA:msg}")
+    df = spark.createDataFrame([("sshd[4242]: accepted connection",)], "text string")
+    r = p.apply(df).first()
+    assert r.prog_raw == "sshd[4242]" and r.program == "sshd" and r.pid == "4242"
+    assert r.msg == "accepted connection"
+
+
+def test_grok_combined_apache_log(spark):
+    line = ('93.180.71.3 - frank [18/Jul/2024:10:27:10 +0000] '
+            '"GET /index.html HTTP/1.1" 200 2326 "http://example.com/start" "curl/7.29"')
+    p = GrokParser("%{COMBINEDAPACHELOG}")
+    r = p.apply(spark.createDataFrame([(line,)], "text string")).first()
+    assert r.clientip == "93.180.71.3" and r.auth == "frank"
+    assert r.verb == "GET" and r.request == "/index.html"
+    assert r.response == "200" and r.bytes == "2326"
+    assert r.referrer == '"http://example.com/start"'
+
+
+def test_grok_recursive_definition_rejected():
+    with pytest.raises(ValueError, match="recursive"):
+        GrokParser("%{A:x}", pattern_definitions={"A": "%{B}", "B": "%{A}"})
+
+
+def test_extract_all_matches_extract(spark):
+    """Single-pass extraction must agree with per-field regexp_extract."""
+    from pyspark.sql import functions as F
+
+    p = GrokParser("tool_call=%{NOTSPACE:tc} status=%{WORD:st} dur_ms=%{INT:d}")
+    df = spark.createDataFrame(
+        [("x tool_call=a status=ok dur_ms=5 y",), ("garbage",), ("", ), (None,)],
+        "text string",
+    )
+    matched, fast = p.extract_all(F.col("text"))
+    slow = p.extract(F.col("text"))
+    rows = df.select(
+        *[fast[k].alias(f"f_{k}") for k in p.fields],
+        *[slow[k].alias(f"s_{k}") for k in p.fields],
+    ).collect()
+    for r in rows:
+        for k in p.fields:
+            assert r[f"f_{k}"] == r[f"s_{k}"]

@@ -60,3 +60,43 @@ def test_load_testdata_registers_views(spark):
     out = load_testdata(spark, "/root/testdata/sf0.001", "region", "nation")
     assert set(out) == {"region", "nation"}
     assert spark.sql("SELECT count(*) n FROM region").first().n == 5
+
+
+def test_positional_binds(spark, fixture_dir):
+    """S6 positional parity: ordered `?` binds + :sql_last_value
+    substitution (statement_handler.rb:126-174)."""
+    from logstash_integration_jdbc_spark.sources.scan import run_statement
+
+    spark.read.parquet(f"{fixture_dir}/transcripts.parquet").createOrReplaceTempView("tr_pos")
+    out = run_statement(
+        spark,
+        "SELECT conv_id, turn_idx FROM tr_pos WHERE turn_idx < ? AND role = ?",
+        [3, "user"],
+    )
+    rows = out.collect()
+    assert rows and all(r.turn_idx < 3 for r in rows)
+
+
+def test_positional_sql_last_value_substitution(spark, fixture_dir):
+    from logstash_integration_jdbc_spark.sources.scan import run_statement
+
+    spark.read.parquet(f"{fixture_dir}/transcripts.parquet").createOrReplaceTempView("tr_pos")
+    hi = run_statement(
+        spark, "SELECT count(*) AS n FROM tr_pos WHERE ts > ?",
+        [":sql_last_value"], sql_last_value="2024-01-01 00:30:00",
+    ).first().n
+    total = spark.table("tr_pos").count()
+    assert 0 < hi < total
+
+
+def test_positional_bind_count_mismatch_raises(spark):
+    """Mirrors jdbc.rb:361-370 / jdbc_spec.rb:1706-1717: `?` marker count
+    must equal the bind-values length."""
+    import pytest
+
+    from logstash_integration_jdbc_spark.sources.scan import run_statement
+
+    with pytest.raises(ValueError, match="mismatch"):
+        run_statement(spark, "SELECT * FROM range(10) WHERE id > ?", [])
+    with pytest.raises(ValueError, match="mismatch"):
+        run_statement(spark, "SELECT * FROM range(10)", [1])
