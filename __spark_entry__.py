@@ -391,13 +391,18 @@ def _q_tz_convert(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def _q_charset(spark, sf_dir):
-    # P4: charset re-decoding (`charset`/`columns_charset`). The driver
-    # tables are ASCII, where ISO-8859-1→UTF-8 must be byte-faithful —
-    # the oracle is identity; non-ASCII correctness (umlauts through the
-    # same path) is pinned in tests/test_functions.py.
+    # P4: charset re-decoding (`charset`/`columns_charset`), exercised on
+    # REAL non-ASCII: each props value gets the reference spec's umlaut
+    # bytes appended in their mis-read (latin-1-decoded) form
+    # (spec/inputs/jdbc_spec.rb:1453-1573); conversion must recover
+    # ' zäöü' while leaving the ASCII prefix byte-faithful. The oracle
+    # states the expected *repaired* text directly.
     from logstash_integration_jdbc_spark.functions.charset import convert_charset
 
-    ev = _t(spark, sf_dir, "events").select("event_id", "props")
+    misread = " zäöü".encode("utf-8").decode("latin-1")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.concat(F.col("props"), F.lit(misread)).alias("props")
+    )
     return convert_charset(ev, columns_charset={"props": "ISO-8859-1"})
 
 
@@ -649,11 +654,32 @@ def _q_embedding_near_dup(spark, sf_dir):
 
 
 def _q_media_stats(spark, sf_dir):
-    # generated binary media table (no testdata media exists) → rows-only
+    # generated binary media table (no testdata media exists); the oracle
+    # is the expected aggregate computed independently in pure Python
+    # from the deterministic per-row spec (see oracle_sql) — exact bigint
+    # sums so the value hash is engine-independent.
     from logstash_integration_jdbc_spark.operators.multimodal import gen_media, media_stats
 
     _pin(spark)
-    return media_stats(gen_media(spark, n_rows=300))
+    return media_stats(gen_media(spark, n_rows=300)).select(
+        "kind", "n", "sum_width", "sum_frames"
+    )
+
+
+def _q_frame_sample(spark, sf_dir):
+    # real video-container decode through the driver gate: every emitted
+    # frame is a standalone PPM; the oracle recomputes (media_id,
+    # frame_idx, frame length) in pure Python from the payload builders.
+    from logstash_integration_jdbc_spark.operators.multimodal import (
+        gen_media,
+        sample_frames,
+    )
+
+    _pin(spark)
+    frames = sample_frames(gen_media(spark, n_rows=300), every_n=2, max_frames=3)
+    return frames.select(
+        "media_id", "frame_idx", F.length("frame_bytes").alias("frame_len")
+    )
 
 
 def _q_streaming_counts(spark, sf_dir):
@@ -770,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "multimodal_media_stats": _q_media_stats,
+        "multimodal_frame_sample": _q_frame_sample,
         "streaming_counts": _q_streaming_counts,
         "transcript_pipeline": _q_transcript_pipeline,
     }
@@ -971,7 +998,7 @@ def oracle_sql() -> dict[str, str]:
           AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
           AND l_quantity < 24
     """
-    q["p4_charset"] = "SELECT event_id, props FROM events"
+    q["p4_charset"] = "SELECT event_id, props || ' zäöü' AS props FROM events"
     q["quantiles"] = """
         SELECT event_type,
                round(quantile_cont(value, 0.5), 6) AS p50,
@@ -1194,4 +1221,43 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT id_a, id_b, round(cosine, 4) AS cos4 FROM pairs WHERE cosine >= 0.95
     """
+    # media stats: expected table derived in pure Python from the
+    # deterministic per-row spec (_row_spec) — independent of the Spark
+    # generator/mapInPandas/aggregation execution path.
+    from logstash_integration_jdbc_spark.operators.multimodal import _row_spec
+
+    agg: dict[str, list[int]] = {}
+    for i in range(300):
+        s = _row_spec(i, 42)
+        a = agg.setdefault(s["kind"], [0, 0, 0])
+        a[0] += 1
+        a[1] += s["width"]
+        a[2] += s["n_frames"]
+    vals = ", ".join(
+        f"('{k}', CAST({n} AS BIGINT), CAST({sw} AS BIGINT), CAST({sf} AS BIGINT))"
+        for k, (n, sw, sf) in sorted(agg.items())
+    )
+    q["multimodal_media_stats"] = (
+        f"SELECT * FROM (VALUES {vals}) t(kind, n, sum_width, sum_frames)"
+    )
+    # frame sample: expected (media_id, frame_idx, frame_len) recomputed
+    # in pure Python (header + w·h·3 bytes per PPM frame).
+    frame_rows = []
+    for i in range(300):
+        s = _row_spec(i, 42)
+        if s["kind"] != "video":
+            continue
+        flen = len(f"P6\n{s['width']} {s['height']}\n255\n") + s["width"] * s["height"] * 3
+        taken = 0
+        for idx in range(0, s["n_frames"], 2):
+            if taken >= 3:
+                break
+            frame_rows.append((i, idx, flen))
+            taken += 1
+    fvals = ", ".join(
+        f"(CAST({m} AS BIGINT), {idx}, {fl})" for m, idx, fl in frame_rows
+    )
+    q["multimodal_frame_sample"] = (
+        f"SELECT * FROM (VALUES {fvals}) t(media_id, frame_idx, frame_len)"
+    )
     return q

@@ -1,13 +1,22 @@
 """Multimodal columns: opaque binary payloads + typed metadata.
 
 Image/audio/video payloads travel as ``binary`` columns with a typed
-metadata struct; decode / feature-extract / resize / frame-sample run as
-Arrow-batched ``mapInPandas`` stages. The decode kernels themselves are
-STUBBED (no image/audio libraries in this container): by default they
-raise ``NotImplementedError`` naming the real library to plug in; with
-``fake=True`` they produce deterministic hash-derived outputs so the
-Spark-side plumbing — schema, batch shape, partitioning — is fully
-exercised and tested.
+metadata struct; decode / feature-extract / frame-sample run as
+Arrow-batched ``mapInPandas`` stages. The container ships no image/audio
+libraries, so the REAL kernels are pure-stdlib decoders of real public
+formats:
+
+- image: binary PPM (P6) — header parse + pixel-stat features;
+- audio: RIFF/WAVE PCM16 — header parse + RMS/duration;
+- video: a length-delimited container of concatenated PPM frames
+  (synthetic but genuinely parsed; a real deployment swaps in
+  pyav/ffmpeg behind the same mapInPandas contract).
+
+``gen_media`` emits valid payloads in exactly these formats, so the
+default (non-fake) path decodes real bytes end-to-end. ``fake=True``
+keeps the hash-derived stand-in kernels for plumbing tests and for
+payload formats the stdlib can't decode (JPEG/PNG/MP4 raise
+``NotImplementedError`` naming the library to plug in).
 
 Scale notes: binary payloads dominate row size, so all plumbing
 repartitions by a size-aware key before the Python stage (Arrow batches
@@ -19,6 +28,7 @@ pruning keeps the scan light — check ReadSchema in .explain).
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -42,29 +52,126 @@ MEDIA_SCHEMA = T.StructType([
 IMAGE_FEATURES_SCHEMA = (
     "media_id bigint, width int, height int, n_bytes bigint, features array<float>"
 )
+AUDIO_FEATURES_SCHEMA = (
+    "media_id bigint, sample_rate int, n_samples bigint, duration_s double, rms double"
+)
 FRAME_SAMPLE_SCHEMA = "media_id bigint, frame_idx int, frame_bytes binary"
+
+_MIMES = {"image": "image/x-portable-pixmap", "audio": "audio/wav",
+          "video": "video/x-ppm-frames"}
+
+
+# ---------------------------------------------------------------------------
+# deterministic pure-Python payload builders (shared by the Spark
+# generator and any independent oracle computation)
+# ---------------------------------------------------------------------------
+
+def _row_spec(media_id: int, seed: int) -> dict:
+    """Deterministic (kind, dims, frames, rate) for one media row."""
+    h = hashlib.sha256(f"{seed}:{media_id}".encode()).digest()
+    kind = ("image", "audio", "video")[h[0] % 3]
+    return {
+        "media_id": media_id,
+        "kind": kind,
+        "width": 16 + h[1] % 48,
+        "height": 16 + h[2] % 48,
+        "sample_rate": 8000 if h[3] % 2 else 16000,
+        "n_frames": 2 + h[4] % 5,
+    }
+
+
+def _pixel_bytes(media_id: int, seed: int, n: int, salt: int = 0) -> bytes:
+    out = bytearray()
+    h = hashlib.sha256(f"{seed}:{media_id}:{salt}".encode()).digest()
+    while len(out) < n:
+        out.extend(h)
+        h = hashlib.sha256(h).digest()
+    return bytes(out[:n])
+
+
+def build_ppm(media_id: int, seed: int, width: int, height: int,
+              salt: int = 0) -> bytes:
+    header = f"P6\n{width} {height}\n255\n".encode("ascii")
+    return header + _pixel_bytes(media_id, seed, width * height * 3, salt)
+
+
+def build_wav(media_id: int, seed: int, sample_rate: int,
+              n_samples: int) -> bytes:
+    """Minimal valid RIFF/WAVE, PCM16 mono."""
+    raw = _pixel_bytes(media_id, seed, n_samples * 2, salt=99)
+    data = struct.pack("<4sI4s4sIHHIIHH4sI",
+                       b"RIFF", 36 + len(raw), b"WAVE",
+                       b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+                       b"data", len(raw))
+    return data + raw
+
+
+def build_frame_container(media_id: int, seed: int, width: int, height: int,
+                          n_frames: int) -> bytes:
+    """Concatenated PPM frames — parsed frame-by-frame by sample_frames."""
+    return b"".join(build_ppm(media_id, seed, width, height, salt=i)
+                    for i in range(n_frames))
+
+
+def build_payload(spec: dict, seed: int) -> bytes:
+    if spec["kind"] == "image":
+        return build_ppm(spec["media_id"], seed, spec["width"], spec["height"])
+    if spec["kind"] == "audio":
+        n_samples = spec["sample_rate"] // 10  # 100 ms
+        return build_wav(spec["media_id"], seed, spec["sample_rate"], n_samples)
+    return build_frame_container(spec["media_id"], seed, spec["width"],
+                                 spec["height"], spec["n_frames"])
 
 
 def gen_media(spark, n_rows: int = 100, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (payload = seeded bytes)."""
-    df = spark.range(n_rows)
-    kind = F.element_at(
-        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.abs(F.xxhash64("id", F.lit(seed))) % 3 + 1).cast("int"),
-    )
-    payload = F.encode(F.sha2(F.concat(F.col("id").cast("string"), F.lit(seed)), 512), "UTF-8")
-    return df.select(
-        F.col("id").alias("media_id"),
-        kind.alias("kind"),
-        payload.cast("binary").alias("payload"),
-        F.struct(
-            ((F.abs(F.xxhash64("id", F.lit(seed + 1))) % 512) + 16).cast("int").alias("width"),
-            ((F.abs(F.xxhash64("id", F.lit(seed + 2))) % 512) + 16).cast("int").alias("height"),
-            F.lit(16000).alias("sample_rate"),
-            ((F.abs(F.xxhash64("id", F.lit(seed + 3))) % 300) + 1).cast("int").alias("n_frames"),
-            F.lit("application/octet-stream").alias("mime"),
-        ).alias("meta"),
-    )
+    """Deterministic media table with REAL payload bytes (PPM/WAV/frames)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                spec = _row_spec(int(mid), seed)
+                rows.append({
+                    "media_id": int(mid),
+                    "kind": spec["kind"],
+                    "payload": build_payload(spec, seed),
+                    "meta": {
+                        "width": spec["width"], "height": spec["height"],
+                        "sample_rate": spec["sample_rate"],
+                        "n_frames": spec["n_frames"],
+                        "mime": _MIMES[spec["kind"]],
+                    },
+                })
+            yield pd.DataFrame(rows)
+
+    return spark.range(n_rows).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# decode kernels
+# ---------------------------------------------------------------------------
+
+def parse_ppm(payload: bytes, offset: int = 0) -> tuple[int, int, int, int]:
+    """Parse one P6 PPM at ``offset`` → (width, height, pixel_start, end)."""
+    if payload[offset : offset + 2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    fields: list[int] = []
+    i = offset + 2
+    while len(fields) < 3:
+        while payload[i] in b" \t\r\n":
+            i += 1
+        if payload[i : i + 1] == b"#":          # comment line
+            while payload[i] not in b"\r\n":
+                i += 1
+            continue
+        j = i
+        while payload[j] not in b" \t\r\n":
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, _maxval = fields
+    return w, h, i, i + w * h * 3
 
 
 def _fake_features(payload: bytes, dim: int) -> list[float]:
@@ -77,56 +184,115 @@ def _fake_features(payload: bytes, dim: int) -> list[float]:
     return out[:dim]
 
 
+def _ppm_features(payload: bytes, dim: int) -> tuple[int, int, list[float]]:
+    """Real decode: header dims + per-bucket mean intensities as features."""
+    import numpy as np
+
+    w, h, start, end = parse_ppm(payload)
+    px = np.frombuffer(payload[start:end], dtype=np.uint8).astype(np.float64)
+    if len(px) == 0:
+        return w, h, [0.0] * dim
+    buckets = np.array_split(px, dim)
+    return w, h, [float(b.mean() / 255.0) if len(b) else 0.0 for b in buckets]
+
+
 def extract_image_features(df: DataFrame, dim: int = 32, fake: bool = False) -> DataFrame:
     """Decode + featurize image payloads via mapInPandas (Arrow batches).
 
-    Real kernel: plug Pillow/torchvision into ``decode``. The Spark-side
-    contract (schema, batching, partition shape) is identical either way.
+    Real kernel: pure-stdlib P6 PPM parse (public netpbm format) +
+    numpy pixel statistics. Non-PPM mimes need Pillow/torchvision —
+    NotImplementedError names the gap. ``fake=True`` keeps the
+    hash-derived stand-in. The Spark-side contract (schema, batching,
+    partition shape) is identical in every mode.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image decode requires Pillow/torchvision; not available "
-                    "in this container — run with fake=True to exercise plumbing"
-                )
-            feats = [_fake_features(p, dim) for p in pdf["payload"]]
-            yield pd.DataFrame({
-                "media_id": pdf["media_id"],
-                "width": [m["width"] for m in pdf["meta"]],
-                "height": [m["height"] for m in pdf["meta"]],
-                "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
-                "features": feats,
-            })
+            rows = {"media_id": [], "width": [], "height": [],
+                    "n_bytes": [], "features": []}
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                if fake:
+                    w, h, feats = meta["width"], meta["height"], _fake_features(payload, dim)
+                elif payload[:2] == b"P6":
+                    w, h, feats = _ppm_features(bytes(payload), dim)
+                else:
+                    raise NotImplementedError(
+                        f"image decode for {meta['mime']!r} requires Pillow/"
+                        "torchvision; only P6 PPM decodes stdlib-side"
+                    )
+                rows["media_id"].append(mid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_bytes"].append(len(payload) if payload is not None else 0)
+                rows["features"].append(feats)
+            yield pd.DataFrame(rows)
 
     imgs = df.filter(F.col("kind") == "image")
     return imgs.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
 
-def sample_frames(df: DataFrame, every_n: int = 30, max_frames: int = 4,
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Real WAV decode: RIFF/fmt header parse + PCM16 RMS (numpy)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "sample_rate": [], "n_samples": [],
+                    "duration_s": [], "rms": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    raise NotImplementedError(
+                        "audio decode beyond RIFF/WAVE PCM needs soundfile/ffmpeg"
+                    )
+                rate = struct.unpack_from("<I", b, 24)[0]
+                data_len = struct.unpack_from("<I", b, 40)[0]
+                samples = np.frombuffer(b, dtype="<i2", count=data_len // 2,
+                                        offset=44).astype(np.float64)
+                n = len(samples)
+                rows["media_id"].append(mid)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(n)
+                rows["duration_s"].append(n / rate if rate else 0.0)
+                rows["rms"].append(float(np.sqrt((samples ** 2).mean())) if n else 0.0)
+            yield pd.DataFrame(rows)
+
+    return df.filter(F.col("kind") == "audio").mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n: int = 2, max_frames: int = 4,
                   fake: bool = False) -> DataFrame:
     """Frame-sample video payloads: one output row per sampled frame.
 
-    Real kernel: pyav/ffmpeg frame extraction. Fake kernel: slices the
-    payload deterministically so row-explosion shape/partitioning is real.
+    Real kernel: walks the concatenated-PPM container, emitting every
+    ``every_n``-th frame's bytes (a complete standalone PPM) up to
+    ``max_frames``. A production build swaps pyav/ffmpeg into the same
+    contract. Fake kernel: deterministic payload slices (plumbing only).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "video decode requires pyav/ffmpeg; not available in this "
-                    "container — run with fake=True to exercise plumbing"
-                )
             rows = {"media_id": [], "frame_idx": [], "frame_bytes": []}
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
-                n = min(max(int(meta["n_frames"]) // every_n, 1), max_frames)
-                for i in range(n):
-                    rows["media_id"].append(mid)
-                    rows["frame_idx"].append(i * every_n)
-                    chunk = payload[(i * 8) % max(len(payload) - 8, 1):][:8]
-                    rows["frame_bytes"].append(bytes(chunk))
+                if fake:
+                    n = min(max(int(meta["n_frames"]) // every_n, 1), max_frames)
+                    for i in range(n):
+                        chunk = payload[(i * 8) % max(len(payload) - 8, 1):][:8]
+                        rows["media_id"].append(mid)
+                        rows["frame_idx"].append(i * every_n)
+                        rows["frame_bytes"].append(bytes(chunk))
+                    continue
+                b = bytes(payload)
+                offset, idx, taken = 0, 0, 0
+                while offset < len(b) and taken < max_frames:
+                    _w, _h, _start, end = parse_ppm(b, offset)
+                    if idx % every_n == 0:
+                        rows["media_id"].append(mid)
+                        rows["frame_idx"].append(idx)
+                        rows["frame_bytes"].append(b[offset:end])
+                        taken += 1
+                    offset = end
+                    idx += 1
             yield pd.DataFrame(rows)
 
     vids = df.filter(F.col("kind") == "video")
@@ -137,12 +303,16 @@ def media_stats(df: DataFrame) -> DataFrame:
     """Metadata-only aggregate — must NOT read the payload column.
 
     Column pruning drops ``payload`` from the scan (verify via
-    ReadSchema); at 100 TB this is a metadata-sized job.
+    ReadSchema); at 100 TB this is a metadata-sized job. Sums are exact
+    (bigint) so cross-engine oracles hash identically; averages derive
+    from them.
     """
     return (
         df.groupBy("kind")
         .agg(
             F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("meta.width")).cast("bigint").alias("sum_width"),
+            F.sum(F.col("meta.n_frames")).cast("bigint").alias("sum_frames"),
             F.avg(F.col("meta.width")).alias("avg_width"),
             F.avg(F.col("meta.n_frames")).alias("avg_frames"),
         )
