@@ -682,11 +682,33 @@ def _q_frame_sample(spark, sf_dir):
     )
 
 
+# Fixed location for the deterministic generated pipeline input: the
+# query functions (over)write it, the DuckDB oracles reimplement the
+# parse→enrich→route logic over it with read_parquet. The content is a
+# pure function of (n_rows=5000, seed=42) — identical every run.
+_PIPELINE_ORACLE_DIR = "/tmp/ljspark_oracle"
+
+
+def _write_pipeline_input(spark):
+    import os as _os
+
+    from logstash_integration_jdbc_spark.sources.generator import (
+        gen_tool_dim,
+        gen_transcripts,
+    )
+
+    tr = gen_transcripts(spark, n_rows=5000, seed=42)
+    tr.write.mode("overwrite").parquet(_os.path.join(_PIPELINE_ORACLE_DIR, "transcripts.parquet"))
+    gen_tool_dim(spark).write.mode("overwrite").parquet(
+        _os.path.join(_PIPELINE_ORACLE_DIR, "tool_dim.parquet"))
+    return tr
+
+
 def _q_streaming_counts(spark, sf_dir):
     # S8/§2.7: Structured Streaming availableNow run of the full
     # parse→enrich→route pipeline (Spark checkpoint ≡ sql_last_value);
-    # returns per-sink counts of the committed sinks. Generated input +
-    # temp checkpoint → rows-only (no SQL twin for a streaming commit).
+    # returns per-sink counts of the committed sinks. Oracle: SQL
+    # reimplementation of the routing over the same generated input.
     import os as _os
     import tempfile as _tf
 
@@ -701,6 +723,7 @@ def _q_streaming_counts(spark, sf_dir):
     _pin(spark)
     base = _tf.mkdtemp(prefix="stream-q-")
     src = _os.path.join(base, "src")
+    _write_pipeline_input(spark)
     gen_transcripts(spark, n_rows=5000, seed=42).write.mode("overwrite").parquet(src)
     lk = Lookup(
         id="tool_info", dim=gen_tool_dim(spark),
@@ -724,17 +747,14 @@ def _q_streaming_counts(spark, sf_dir):
 
 def _q_transcript_pipeline(spark, sf_dir):
     # flagship parse→enrich→classify over the deterministic generated
-    # transcript table (north_star shape); oracle-checked in pytest
-    # against DuckDB — rows-only here (input is generated, not testdata)
+    # transcript table (north_star shape); the oracle reimplements
+    # parse/enrich/route in SQL over the written copy of the same input.
     from logstash_integration_jdbc_spark.functions.parse import parse_tool_calls
     from logstash_integration_jdbc_spark.operators.lookup import OK_COL, Lookup, LookupProcessor
-    from logstash_integration_jdbc_spark.sources.generator import (
-        gen_tool_dim,
-        gen_transcripts,
-    )
+    from logstash_integration_jdbc_spark.sources.generator import gen_tool_dim
 
     _pin(spark)
-    tr = gen_transcripts(spark, n_rows=5000, seed=42)
+    tr = _write_pipeline_input(spark)
     parsed = parse_tool_calls(tr)
     lk = Lookup(
         id="tool_info", dim=gen_tool_dim(spark),
@@ -805,6 +825,103 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
+
+# The driver evaluates oracles at this scale factor (TESTDATA.md); the
+# xxhash64-based expected tables below are computed from its parquet by
+# an independent pure-Python implementation (functions/xxhash.py).
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+_XXHASH_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _read_docs() -> list[tuple[int, str]]:
+    import duckdb
+
+    return duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{_ORACLE_SF_DIR}/documents.parquet') "
+        "ORDER BY doc_id"
+    ).fetchall()
+
+
+def _py_simhash(text: str) -> int:
+    """Independent simhash twin of operators.dedup._get_simhash_udf."""
+    import numpy as np
+
+    from logstash_integration_jdbc_spark.functions.xxhash import (
+        spark_ws_tokens,
+        xxh64_str,
+    )
+
+    hs = [xxh64_str(t) & ((1 << 64) - 1) for t in spark_ws_tokens(text)]
+    if not hs:
+        return 0
+    arr = np.array(hs, dtype=np.uint64)
+    bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32) * 2 - 1
+    acc = bits.sum(axis=0)
+    val = 0
+    for p in range(64):
+        if acc[p] > 0:
+            val |= 1 << p
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def _py_fingerprint(text: str) -> int:
+    """Independent twin of textstats.fingerprint (FNV-style token fold)."""
+    from logstash_integration_jdbc_spark.functions.xxhash import (
+        spark_ws_tokens,
+        xxh64_str,
+    )
+
+    mask = (1 << 64) - 1
+    toks = [] if text.strip(" ") == "" else spark_ws_tokens(text)
+    acc = (-3750763034362895579) & mask
+    for t in toks:
+        acc = (acc * 1099511628211 + (xxh64_str(t) & mask)) & mask
+    return acc - (1 << 64) if acc >= (1 << 63) else acc
+
+
+def _simhash_oracle_values() -> str:
+    """Expected (id_a, id_b, hamming ≤ 3) pairs over the doubled corpus,
+    via pure-Python simhash + numpy O(n²) popcount (exact: pigeonhole
+    guarantees the 4×16-bit blocking finds every pair at hamming ≤ 3)."""
+    if "simhash" in _XXHASH_ORACLE_CACHE:
+        return _XXHASH_ORACLE_CACHE["simhash"]
+    import numpy as np
+
+    docs = _read_docs()
+    both = docs + [(i + 1_000_000, t) for i, t in docs]
+    sims = {}
+    by_text: dict[str, int] = {}
+    for did, text in both:
+        if text not in by_text:
+            by_text[text] = _py_simhash(text)
+        sims[did] = by_text[text]
+    ids = np.array(sorted(sims), dtype=np.int64)
+    vals = np.array([sims[i] for i in ids], dtype=np.int64).view(np.uint64)
+    x = vals[:, None] ^ vals[None, :]
+    pop = np.zeros(x.shape, dtype=np.int32)
+    lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.int32)
+    for shift in range(0, 64, 8):
+        pop += lut[((x >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.int64)]
+    iu = np.triu_indices(len(ids), k=1)
+    rows = [(int(ids[i]), int(ids[j]), int(pop[i, j]))
+            for i, j in zip(*iu) if pop[i, j] <= 3]
+    sql = "SELECT * FROM (VALUES " + ", ".join(
+        f"(CAST({a} AS BIGINT), CAST({b} AS BIGINT), CAST({h} AS INT))"
+        for a, b, h in rows
+    ) + ") t(id_a, id_b, hamming)"
+    _XXHASH_ORACLE_CACHE["simhash"] = sql
+    return sql
+
+
+def _fingerprint_oracle_values() -> str:
+    if "fp" in _XXHASH_ORACLE_CACHE:
+        return _XXHASH_ORACLE_CACHE["fp"]
+    rows = [(did, _py_fingerprint(text)) for did, text in _read_docs()]
+    sql = "SELECT * FROM (VALUES " + ", ".join(
+        f"(CAST({d} AS BIGINT), CAST({fp} AS BIGINT))" for d, fp in rows
+    ) + ") t(doc_id, fingerprint)"
+    _XXHASH_ORACLE_CACHE["fp"] = sql
+    return sql
 
 _STOP_EN = "'the','and','of','to','a','in','is','that','it','for'"
 _STOP = {
@@ -1061,6 +1178,35 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT doc_id + 1000000, text, lang, source FROM documents
         ) QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
     """
+    # pipeline oracles: SQL reimplementation of parse→enrich→route over
+    # the written copy of the deterministic generated input (RE2 regex ≡
+    # the compiled TOOL_CALL_GROK; lookup miss → default → defaults_used).
+    _parse_re = r"tool_call=(\S+) status=(\w+) dur_ms=([+-]?\d+)"
+    q["transcript_pipeline"] = f"""
+        WITH tr AS (
+            SELECT text,
+                   regexp_matches(text, '{_parse_re}') AS parse_ok,
+                   nullif(regexp_extract(text, '{_parse_re}', 1), '') AS tool_call
+            FROM read_parquet('{_PIPELINE_ORACLE_DIR}/transcripts.parquet/*.parquet')
+        )
+        SELECT CASE WHEN NOT t.parse_ok THEN 'parse_miss'
+                    WHEN d.tool IS NULL THEN 'defaults_used'
+                    ELSE 'matched' END AS sink,
+               count(*) AS n
+        FROM tr t
+        LEFT JOIN read_parquet('{_PIPELINE_ORACLE_DIR}/tool_dim.parquet/*.parquet') d
+          ON t.tool_call = d.tool
+        GROUP BY 1
+    """
+    q["streaming_counts"] = f"""
+        SELECT CASE WHEN regexp_matches(text, '{_parse_re}')
+                    THEN 'matched' ELSE 'parse_miss' END AS sink,
+               count(*) AS n
+        FROM read_parquet('{_PIPELINE_ORACLE_DIR}/transcripts.parquet/*.parquet')
+        GROUP BY 1
+    """
+    q["dedup_simhash"] = _simhash_oracle_values()
+    q["text_fingerprint"] = _fingerprint_oracle_values()
     q["dedup_minhash"] = f"""
         WITH {_SHINGLES_CTE}
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
