@@ -179,6 +179,50 @@ class Lookup:
             out = add_tags(out, invalid | empty, self.tag_on_default_use)
         return out.drop("__payload")
 
+    def _payload_array_type(self) -> T.ArrayType:
+        """array<struct> type of the target, from schema only (usable even
+        when the dimension's data is unavailable)."""
+        dim_fields = {f.name: f.dataType for f in self.dim.schema.fields}
+        dh = self.default_hash or {}
+        fields = []
+        for f_ in self._payload_fields():
+            if f_ in dim_fields:
+                fields.append(T.StructField(f_, dim_fields[f_]))
+            else:
+                fields.append(T.StructField(f_, _LIT_TYPES[_lit_type(dh.get(f_))]))
+        # containsNull=False matches collect_list's output type, so
+        # degraded and healthy batches stay schema-identical
+        return T.ArrayType(T.StructType(fields), containsNull=False)
+
+    def apply_failed(self, fact: DataFrame, static_semantics: bool = True) -> DataFrame:
+        """Batch-scoped SQL-error path — the dimension was unavailable.
+
+        The reference caches *failed* per-key probes (negative cache,
+        jdbc_streaming/statement_handler.rb:40-56) and tags
+        ``tag_on_failure`` on SQL errors; jdbc_static marks the lookup
+        unsuccessful on SQL error (lookup.rb:92-109). The columnar batch
+        equivalent: ONE load attempt per batch (the broadcast build *is*
+        the cache; its failure is the negative entry), after which every
+        row takes the failure treatment without further probing:
+
+        - static: failure tags, target NOT set (null), gate false;
+        - streaming: failure tags AND — payload being empty — default
+          tags + default target; target always set, matched regardless.
+        """
+        fact = _ensure_tags(fact)
+        if OK_COL not in fact.columns:
+            fact = fact.withColumn(OK_COL, F.lit(True))
+        atype = self._payload_array_type()
+        if static_semantics:
+            out = fact.withColumn(self.target, F.lit(None).cast(atype))
+            out = add_tags(out, F.lit(True), self.tag_on_failure)
+            return out.withColumn(OK_COL, F.lit(False))
+        target = (self._default_array() if self.default_hash is not None
+                  else F.array().cast(atype))
+        out = fact.withColumn(self.target, target)
+        out = add_tags(out, F.lit(True), self.tag_on_failure)
+        return add_tags(out, F.lit(True), self.tag_on_default_use)
+
     def _apply_equi(self, fact: DataFrame, keys: dict[str, Column]) -> DataFrame:
         # Pre-aggregate the dim to one row per key → the broadcast hash
         # table IS the lookup index; left join is map-only on the fact.
@@ -233,6 +277,14 @@ def _lit_type(v: Any) -> str:
     return "string"
 
 
+_LIT_TYPES: dict[str, T.DataType] = {
+    "boolean": T.BooleanType(),
+    "bigint": T.LongType(),
+    "double": T.DoubleType(),
+    "string": T.StringType(),
+}
+
+
 def _array_struct_type_of(df: DataFrame, colname: str) -> T.DataType:
     return df.schema[colname].dataType
 
@@ -255,15 +307,37 @@ class LookupProcessor:
             raise ValueError(f"duplicate lookup targets: {sorted(targets)}")
         self.lookups = list(lookups)
 
-    def enhance(self, fact: DataFrame, fact_key: Sequence[str] | None = None) -> DataFrame:
-        """All lookups + ``__lookups_ok`` gate column (filter_matched)."""
+    def enhance(self, fact: DataFrame, fact_key: Sequence[str] | None = None,
+                failed: Sequence[str] = ()) -> DataFrame:
+        """All lookups + ``__lookups_ok`` gate column (filter_matched).
+
+        ``failed`` names lookups whose dimension load failed this batch
+        (e.g. a ``LoaderError`` from the count guard): those take the
+        SQL-error path (``apply_failed``) instead of joining — the
+        batch-scoped negative cache. Typical wiring::
+
+            failed = [lk.id for lk in proc.lookups
+                      if not loader_ok(loaders[lk.id])]
+            proc.enhance(fact, failed=failed)
+        """
+        failed_set = set(failed)
         out = fact
         for lk in self.lookups:
-            out = lk.apply(out, static_semantics=True, fact_key=fact_key)
+            if lk.id in failed_set:
+                out = lk.apply_failed(out, static_semantics=True)
+            else:
+                out = lk.apply(out, static_semantics=True, fact_key=fact_key)
         return out
 
 
 def streaming_lookup(fact: DataFrame, lookup: Lookup,
-                     fact_key: Sequence[str] | None = None) -> DataFrame:
-    """jdbc_streaming semantics: target always set, default on empty/failure."""
+                     fact_key: Sequence[str] | None = None,
+                     dim_failed: bool = False) -> DataFrame:
+    """jdbc_streaming semantics: target always set, default on empty/failure.
+
+    ``dim_failed=True`` is the SQL-error path (negative-cache analog):
+    failure + default tags on every row, default target substituted.
+    """
+    if dim_failed:
+        return lookup.apply_failed(fact, static_semantics=False)
     return lookup.apply(fact, static_semantics=False, fact_key=fact_key)

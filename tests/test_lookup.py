@@ -175,3 +175,55 @@ class TestProcessorValidation:
         out = by_key(proc.enhance(fact2))
         assert out[("c1", 0)][OK_COL] is True
         assert out[("c2", 0)][OK_COL] is False  # tool lookup invalid → gate blocked
+
+
+def test_failed_lookup_static_semantics(spark, tool_dim):
+    """SQL-error path, jdbc_static flavor (lookup.rb:92-109): failure
+    tags, target NOT set, gate false — batch-scoped negative cache."""
+    from logstash_integration_jdbc_spark.operators.lookup import (
+        OK_COL,
+        Lookup,
+        LookupProcessor,
+    )
+
+    fact = spark.createDataFrame([("search",), ("browser",)], "tool_call string")
+    lk = Lookup(id="tool_info", dim=tool_dim,
+                on=[("tool", "=", "t")], parameters={"t": "[tool_call]"},
+                select=["tool_name"], tag_on_failure=["_lookup_fail"])
+    out = LookupProcessor([lk]).enhance(fact, failed=["tool_info"]).collect()
+    assert all(r["tool_info"] is None for r in out)
+    assert all("_lookup_fail" in r["tags"] for r in out)
+    assert all(r[OK_COL] is False for r in out)
+
+
+def test_failed_lookup_streaming_semantics(spark, tool_dim):
+    """jdbc_streaming flavor (statement_handler.rb:40-56 + filter
+    :125-138): failure AND default tags, default target always set."""
+    from logstash_integration_jdbc_spark.operators.lookup import (
+        Lookup,
+        streaming_lookup,
+    )
+
+    fact = spark.createDataFrame([("search",)], "tool_call string")
+    lk = Lookup(id="tool_info", dim=tool_dim,
+                on=[("tool", "=", "t")], parameters={"t": "[tool_call]"},
+                select=["tool_name"], default_hash={"tool_name": "unknown"},
+                tag_on_failure=["_fail"], tag_on_default_use=["_default"])
+    r = streaming_lookup(fact, lk, dim_failed=True).first()
+    assert [x["tool_name"] for x in r["tool_info"]] == ["unknown"]
+    assert "_fail" in r["tags"] and "_default" in r["tags"]
+
+
+def test_failed_lookup_target_type_matches_ok_path(spark, tool_dim):
+    """Degraded and healthy batches must produce union-compatible frames
+    (a mid-stream dim outage can't break the sink schema)."""
+    from logstash_integration_jdbc_spark.operators.lookup import Lookup, LookupProcessor
+
+    fact = spark.createDataFrame([("search",)], "tool_call string")
+    lk = Lookup(id="tool_info", dim=tool_dim,
+                on=[("tool", "=", "t")], parameters={"t": "[tool_call]"},
+                select=["tool_name", "tool_category"])
+    ok = LookupProcessor([lk]).enhance(fact)
+    bad = LookupProcessor([lk]).enhance(fact, failed=["tool_info"])
+    assert ok.schema == bad.schema
+    assert ok.unionByName(bad).count() == 2
