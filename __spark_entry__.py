@@ -635,7 +635,7 @@ def _q_embedding_near_dup(spark, sf_dir):
     # ×0.65 → cosine(v, v') ≈ 1/√(1+0.35²) ≈ 0.94…0.96 depending on the
     # even/odd energy split — pairs straddle the 0.95 threshold, so the
     # O(n²) oracle genuinely exercises near (not exact) duplicate recall.
-    from logstash_integration_jdbc_spark.operators.dedup import embedding_near_dups
+    from logstash_integration_jdbc_spark.operators.dedup import exact_cosine_pairs
 
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
@@ -648,7 +648,7 @@ def _q_embedding_near_dup(spark, sf_dir):
         ).alias("embedding"),
     )
     both = emb.select("vec_id", "embedding").unionByName(pert)
-    return embedding_near_dups(both, min_cosine=0.95).select(
+    return exact_cosine_pairs(both, min_cosine=0.95).select(
         "id_a", "id_b", F.round("cosine", 4).alias("cos4")
     )
 

@@ -114,9 +114,13 @@ _GROK_REF = re.compile(r"%\{(\w+)(?::([\w\[\]@.]+))?(?::(\w+))?\}")
 
 _INLINE_TYPES = {"int": "int", "long": "bigint", "float": "double", "double": "double"}
 
-# ASCII "group separator" — delimits captures in the single-pass
-# extraction; see GrokParser.extract_all for the pathological-input note.
-_SEP = "\x1d"
+# NOTE on single-pass extraction: an anchored-regexp_replace trick
+# (rewrite the row to "SEP$1SEP$2…" once, split on SEP) was built and
+# MEASURED at 1M rows/local[32]: 5.6 s with a [\s\S] wrapper, 0.37 s per
+# replace with (?s) dotall — but Catalyst inlines the replace into every
+# derived column (no cross-column CSE), so k fields re-run it k+1 times
+# (~1.5 s total), while k codegen'd regexp_extract + one rlike finish in
+# 0.28-0.45 s. Per-field extraction IS the fast path; kept.
 
 
 def _count_captures(s: str) -> int:
@@ -211,9 +215,9 @@ class GrokParser:
     def extract(self, col: Column) -> dict[str, Column]:
         """field name → typed extracted Column (null when no match).
 
-        Per-field ``regexp_extract`` — k regex executions per row. The
-        hot path is :meth:`extract_all` (one execution); this form stays
-        for single-field patterns and API compatibility.
+        Per-field ``regexp_extract`` — k codegen'd regex executions per
+        row, measured faster than any single-execution rewrite (see the
+        module note above).
         """
         out: dict[str, Column] = {}
         for fname, gidx, _ in self.field_list:
@@ -228,34 +232,11 @@ class GrokParser:
         return out
 
     def extract_all(self, col: Column) -> tuple[Column, dict[str, Column]]:
-        """(matched, field → Column) with ONE regex execution per row.
-
-        The whole string is rewritten to ``SEP$g1SEP$g2…`` via an
-        anchored ``regexp_replace`` ([\\s\\S] spans newlines without
-        turning on dotall inside the user pattern); no match leaves the
-        input untouched, so ``matched ≡ result != input``. Splitting on
-        the ASCII group-separator recovers every capture — k-1 fewer
-        regex executions than :meth:`extract` per row. Pathological
-        inputs containing \\x1d can mis-split (documented; log text
-        never does — fall back to :meth:`extract` if yours can).
-
-        Match semantics are grok's: matched ⇔ the regex matched, even if
-        an optional/empty-capable capture is empty.
-        """
-        repl = _SEP + _SEP.join(f"${g}" for _, g, _ in self.field_list)
-        wrapped = r"\A[\s\S]*?(?:" + self.regex + r")[\s\S]*\Z"
-        res = F.regexp_replace(col, wrapped, repl)
-        matched = res != col
-        parts = F.split(res, _SEP)
-        out: dict[str, Column] = {}
-        for i, (fname, _, _) in enumerate(self.field_list):
-            c = F.element_at(parts, i + 2)
-            c = F.when(matched & (c != ""), c)
-            t = self.types.get(fname)
-            if t:
-                c = c.cast(t)
-            out[fname] = c
-        return matched, out
+        """(matched, field → Column) with true grok match semantics:
+        matched ⇔ the regex matched (``rlike``), even if an optional or
+        empty-capable capture is empty. Fields come from the per-field
+        fast path."""
+        return col.rlike(self.regex), self.extract(col)
 
     def apply(self, df: DataFrame, text_col: str = "text",
               matched_col: str = "parse_ok") -> DataFrame:

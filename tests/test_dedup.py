@@ -178,3 +178,36 @@ def test_embedding_near_dup_recall_on_true_near_pairs(spark):
     assert want, "fixture must contain true near-dup pairs"
     recall = len(got & want) / len(want)
     assert recall >= 0.95, f"recall {recall:.3f} on {len(want)} true pairs"
+
+
+def test_exact_cosine_pairs_equals_numpy(spark):
+    """Block-GEMM exact pairs must equal the numpy O(n²) answer exactly
+    (not just recall-bounded like the LSH-probe variant)."""
+    import numpy as np
+
+    from logstash_integration_jdbc_spark.operators.dedup import exact_cosine_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    ).select("vec_id", "embedding")
+    pert = emb.select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * F.when(i % 2 == 0, F.lit(1.35)).otherwise(F.lit(0.65)),
+        ).alias("embedding"),
+    )
+    both = emb.unionByName(pert)
+    got = {(r.id_a, r.id_b) for r in exact_cosine_pairs(both, min_cosine=0.95).collect()}
+
+    rows = sorted(both.collect(), key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows])
+    M = np.array([r.embedding for r in rows])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    cos = Mn @ Mn.T
+    iu = np.triu_indices(len(ids), k=1)
+    strict = {(int(ids[i]), int(ids[j]))
+              for i, j in zip(*iu) if cos[i, j] >= 0.95 + 1e-9}
+    loose = {(int(ids[i]), int(ids[j]))
+             for i, j in zip(*iu) if cos[i, j] >= 0.95 - 1e-9}
+    assert strict <= got <= loose  # boundary pairs decided by exact expr
