@@ -243,6 +243,23 @@ def _q_assemble(spark, sf_dir):
     )
 
 
+def _q_assemble_capped(spark, sf_dir):
+    # max_turns cap: heavy structs are nulled before collect_list (no
+    # full materialization of giant conversations); document/token stats
+    # follow the cap while n_turns/first/last cover every raw row.
+    from logstash_integration_jdbc_spark.operators.assemble import assemble_conversations
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.col("ts"),
+    )
+    out = assemble_conversations(ev, max_turns=5)
+    return out.select("conv_id", "document", "n_turns", "n_tokens")
+
+
 def _q_grok_parse(spark, sf_dir):
     # north_star parse stage: multi-pattern grok with break_on_match and
     # _grokparsefailure tagging, JVM-side (GrokPipeline)
@@ -630,6 +647,21 @@ def _q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def _q_ann_lsh_topk(spark, sf_dir):
+    # sign-LSH blocked approximate top-k; the oracle replicates the
+    # 16-bit hyperplane sketch + 4-bit-block candidate join + exact
+    # cosine ranking with the same literal plane coefficients.
+    from logstash_integration_jdbc_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).selectExpr("vec_id as query_id", "embedding")
+    return lsh_topk(emb, queries, k=10).select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cos4")
+    )
+
+
 def _q_embedding_near_dup(spark, sf_dir):
     # The companion corpus is PERTURBED, not copied: even dims ×1.35, odd
     # ×0.65 → cosine(v, v') ≈ 1/√(1+0.35²) ≈ 0.94…0.96 depending on the
@@ -788,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j4_like_lookup": _q_like_lookup,
         "grok_parse": _q_grok_parse,
         "conv_assemble": _q_assemble,
+        "conv_assemble_capped": _q_assemble_capped,
         "r4_router_counts": _q_router_counts,
         "agg_hourly_counts": _q_hourly_counts,
         "win_latest_event": _q_latest_event,
@@ -814,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_fingerprint,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "multimodal_media_stats": _q_media_stats,
         "multimodal_frame_sample": _q_frame_sample,
@@ -1029,6 +1063,26 @@ def oracle_sql() -> dict[str, str]:
                strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_s,
                strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_s
         FROM events GROUP BY user_id
+    """
+    q["conv_assemble_capped"] = r"""
+        WITH capped AS (
+            SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                   CAST(event_id AS INT) AS turn_idx,
+                   event_type AS role, props AS text
+            FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id
+                                       ORDER BY CAST(event_id AS INT)) <= 5
+        ), raw AS (
+            SELECT CAST(user_id AS VARCHAR) AS conv_id, count(*) AS n_turns
+            FROM events GROUP BY 1
+        )
+        SELECT c.conv_id,
+               string_agg(c.role || ': ' || c.text, chr(10) ORDER BY c.turn_idx) AS document,
+               any_value(r.n_turns) AS n_turns,
+               CAST(sum(CASE WHEN trim(c.text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(lower(c.text)), '\s+')) END) AS BIGINT) AS n_tokens
+        FROM capped c JOIN raw r ON c.conv_id = r.conv_id
+        GROUP BY c.conv_id
     """
     q["r4_router_counts"] = """
         SELECT sink, count(*) AS n FROM (
@@ -1344,6 +1398,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT *, row_number() OVER (PARTITION BY query_id
                                          ORDER BY cosine DESC, vec_id ASC) AS rn
             FROM scored
+        ) WHERE rn <= 10
+    """
+    # ANN LSH oracle: the 16-bit sketch rebuilt in SQL from the same
+    # deterministic plane coefficients (similarity._plane_coeff).
+    from logstash_integration_jdbc_spark.operators.similarity import _plane_coeff
+
+    def _sk_expr(vcol: str) -> str:
+        bits = []
+        for i in range(16):
+            coefs = "[" + ", ".join(repr(_plane_coeff(i, j)) for j in range(64)) + "]"
+            dot = (f"list_sum(list_transform(range(1, len({vcol}) + 1), "
+                   f"j -> {vcol}[j] * ({coefs})[j]))")
+            bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+        return " + ".join(bits)
+
+    _blk = " OR ".join(
+        f"(((c.sketch >> {b * 4}) & 15) = ((q.sketch >> {b * 4}) & 15))"
+        for b in range(4)
+    )
+    q["ann_lsh_topk"] = f"""
+        WITH e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), sk AS (
+            SELECT vec_id, v, {_sk_expr('v')} AS sketch FROM e
+        ), qs AS (
+            SELECT vec_id AS query_id, v AS qv, sketch FROM sk WHERE vec_id < 5
+        ), cand AS (
+            SELECT q.query_id, c.vec_id,
+                   list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * q.qv[i]))
+                   / (sqrt(list_sum(list_transform(c.v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cosine
+            FROM sk c JOIN qs q ON ({_blk}) AND c.vec_id <> q.query_id
+        )
+        SELECT query_id, vec_id, round(cosine, 4) AS cos4 FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, vec_id ASC) AS rn
+            FROM cand
         ) WHERE rn <= 10
     """
     q["embedding_near_dup"] = """

@@ -144,8 +144,9 @@ def _count_captures(s: str) -> int:
 
 
 def compile_grok(pattern: str, registry: dict[str, str] | None = None
-                 ) -> tuple[str, list[tuple[str, int, str | None]]]:
-    """Grok → (java_regex, [(field, group_index, inline_type)]).
+                 ) -> tuple[str, list[tuple[str, int, str | None]], list[str]]:
+    """Grok → (java_regex, [(field, group_index, inline_type)],
+    [per-field expanded subregex]).
 
     ``%{NAME:field}`` references expand recursively (cycle-checked);
     references without a field become non-capturing groups; nested named
@@ -156,6 +157,7 @@ def compile_grok(pattern: str, registry: dict[str, str] | None = None
     reg = registry if registry is not None else GROK_PATTERNS
     parts: list[str] = []
     fields: list[tuple[str, int, str | None]] = []
+    field_subregex: list[str] = []
     ngroups = 0
 
     def emit_raw(s: str) -> None:
@@ -177,7 +179,9 @@ def compile_grok(pattern: str, registry: dict[str, str] | None = None
                 ngroups += 1
                 fields.append((fname, ngroups, _INLINE_TYPES.get(ftype) if ftype else None))
                 parts.append("(")
+                sub_start = len(parts)
                 walk(reg[name], stack + (name,))
+                field_subregex.append("".join(parts[sub_start:]))
                 parts.append(")")
             else:
                 parts.append("(?:")
@@ -187,7 +191,7 @@ def compile_grok(pattern: str, registry: dict[str, str] | None = None
         emit_raw(pat[pos:])
 
     walk(pattern, ())
-    return "".join(parts), fields
+    return "".join(parts), fields, field_subregex
 
 
 class GrokParser:
@@ -205,7 +209,7 @@ class GrokParser:
         registry = dict(GROK_PATTERNS)
         if pattern_definitions:
             registry.update(pattern_definitions)
-        self.regex, self.field_list = compile_grok(pattern, registry)
+        self.regex, self.field_list, self._field_subregex = compile_grok(pattern, registry)
         if not self.field_list:
             raise ValueError(f"grok pattern has no captures: {pattern!r}")
         self.fields = [f for f, _, _ in self.field_list]
@@ -231,12 +235,56 @@ class GrokParser:
             out[fname] = c
         return out
 
+    def _match_needs_rlike(self) -> bool:
+        """True when the matched test requires its own rlike pass.
+
+        It can be skipped — ``matched ≡ first capture non-null`` — only
+        when group 1 (a) can't capture '' on a successful match and
+        (b) always participates in a match. (a): the recorded group-1
+        subpattern must not fullmatch '' (Java-only constructs → be
+        conservative). (b): the compiled regex must contain no top-level
+        alternation and no quantifier applied to a group (either could
+        leave group 1 unset while the whole pattern matches).
+        """
+        try:
+            if re.fullmatch(self._field_subregex[0], "") is not None:
+                return True
+        except re.error:
+            return True
+        rx = self.regex
+        i, in_class = 0, False
+        while i < len(rx):
+            c = rx[i]
+            if c == "\\":
+                i += 2
+                continue
+            if in_class:
+                if c == "]":
+                    in_class = False
+            elif c == "[":
+                in_class = True
+            elif c == "|":
+                return True
+            elif c == ")" and i + 1 < len(rx) and rx[i + 1] in "?*{":
+                return True
+            i += 1
+        return False
+
     def extract_all(self, col: Column) -> tuple[Column, dict[str, Column]]:
         """(matched, field → Column) with true grok match semantics:
-        matched ⇔ the regex matched (``rlike``), even if an optional or
-        empty-capable capture is empty. Fields come from the per-field
-        fast path."""
-        return col.rlike(self.regex), self.extract(col)
+        matched ⇔ the regex matched, even if an optional or
+        empty-capable capture is empty.
+
+        Fast path: for patterns whose first capture provably consumes
+        ≥1 char and always participates (INT/WORD/NOTSPACE-style — see
+        ``_match_needs_rlike``), the matched test reuses the group-1
+        extraction instead of paying a second full-regex pass per row
+        (~10% of end-to-end pipeline cost at 1M rows).
+        """
+        cols = self.extract(col)
+        if self._match_needs_rlike():
+            return col.rlike(self.regex), cols
+        return cols[self.fields[0]].isNotNull(), cols
 
     def apply(self, df: DataFrame, text_col: str = "text",
               matched_col: str = "parse_ok") -> DataFrame:

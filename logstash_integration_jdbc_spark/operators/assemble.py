@@ -32,12 +32,28 @@ def assemble_conversations(
     max_turns: int | None = None,
     sep: str = "\n",
 ) -> DataFrame:
-    """One row per conv_id: ordered rendered text + budget stats."""
+    """One row per conv_id: ordered rendered text + budget stats.
+
+    With ``max_turns`` set, the heavy rendered-turn struct is NULLED for
+    rows beyond the cap before aggregation (``collect_list`` skips
+    nulls), so a pathological 10⁶-turn conversation contributes only
+    ``max_turns`` structs to the aggregation buffer while ``n_turns`` /
+    ``first_ts`` / ``last_ts`` still cover every raw row. The cap's
+    per-conv ranking adds one window over the same conv_id exchange
+    (deterministic given unique turn_idx per conversation).
+    """
     turn = F.struct(
         F.col("turn_idx").alias("turn_idx"),
         render_turn(F.col("role"), F.col("text")).alias("line"),
         tokens_expr(F.col("text")).alias("toks"),
     )
+    if max_turns is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        turn = F.when(F.row_number().over(w) <= max_turns, turn)
+        df = df.withColumn("__turn", turn)
+        turn = F.col("__turn")
     g = df.groupBy("conv_id").agg(
         F.array_sort(F.collect_list(turn)).alias("__turns"),
         F.count(F.lit(1)).alias("n_turns"),
@@ -45,8 +61,6 @@ def assemble_conversations(
         F.max("ts").alias("last_ts"),
     )
     turns = F.col("__turns")
-    if max_turns is not None:
-        turns = F.slice(turns, 1, max_turns)
     doc = F.array_join(F.transform(turns, lambda t: t["line"]), sep)
     n_tokens = F.aggregate(
         turns, F.lit(0).cast("bigint"), lambda acc, t: acc + F.size(t["toks"])
