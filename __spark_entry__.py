@@ -574,6 +574,18 @@ def _q_dedup_minhash(spark, sf_dir):
     )
 
 
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    # bigram (n=2) variant of the shingle pipeline: same LSH pruning
+    # (64 hashes / 16 bands), exact bigram jaccard verified per pair.
+    # Bigram jaccard of a near-dup pair dominates its trigram jaccard, so
+    # the ≥0.9 corpus pairs keep the ≈4e-8 miss bound vs the O(n²) oracle.
+    from logstash_integration_jdbc_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8, n_shingle=2)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jac"))
+
+
 def _q_simhash(spark, sf_dir):
     # pandas-UDF FNV/simhash — not expressible portably in SQL → rows-only
     from logstash_integration_jdbc_spark.operators.dedup import simhash_near_dups
@@ -840,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_exact_keep": _q_dedup_exact_keep,
         "dedup_minhash": _q_dedup_minhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_simhash": _q_simhash,
         "text_token_count": _q_token_count,
         "text_quality": _q_quality,
@@ -1267,6 +1280,27 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                      / len(list_distinct(list_concat(a.s, b.s))), 6) AS jac
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+    """
+    q["dedup_ngram_jaccard"] = """
+        WITH tok2 AS (
+            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w, text
+            FROM documents
+        ), sh2 AS (
+            SELECT doc_id,
+                list_distinct(
+                    CASE WHEN len(w) >= 2
+                         THEN list_transform(range(1, len(w)),
+                                             i -> w[i] || ' ' || w[i+1])
+                         ELSE [text] END
+                ) AS s
+            FROM tok2
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.s, b.s))), 6) AS jac
+        FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
               / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
     """
