@@ -726,6 +726,22 @@ def _q_frame_sample(spark, sf_dir):
     )
 
 
+def _q_resize(spark, sf_dir):
+    # real decode→resample→re-encode through the driver gate: the oracle
+    # recomputes every resized payload's md5 with an independent
+    # pure-Python nearest-neighbor twin of the numpy kernel.
+    from logstash_integration_jdbc_spark.operators.multimodal import (
+        gen_media,
+        resize_images,
+    )
+
+    _pin(spark)
+    out = resize_images(gen_media(spark, n_rows=300), out_w=12, out_h=10)
+    return out.select(
+        "media_id", "width", "height", F.md5(F.col("payload")).alias("payload_md5")
+    )
+
+
 # Fixed location for the deterministic generated pipeline input: the
 # query functions (over)write it, the DuckDB oracles reimplement the
 # parse→enrich→route logic over it with read_parquet. The content is a
@@ -864,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "multimodal_media_stats": _q_media_stats,
         "multimodal_frame_sample": _q_frame_sample,
+        "multimodal_resize": _q_resize,
         "streaming_counts": _q_streaming_counts,
         "transcript_pipeline": _q_transcript_pipeline,
     }
@@ -1531,5 +1548,34 @@ def oracle_sql() -> dict[str, str]:
     )
     q["multimodal_frame_sample"] = (
         f"SELECT * FROM (VALUES {fvals}) t(media_id, frame_idx, frame_len)"
+    )
+    # resize: expected md5 of each resized payload, computed by an
+    # independent pure-Python nearest-neighbor twin (list slicing, no
+    # numpy) over the shared deterministic payload builders.
+    import hashlib as _hl
+
+    from logstash_integration_jdbc_spark.operators.multimodal import build_ppm
+
+    ow, oh = 12, 10
+    rrows = []
+    for i in range(300):
+        s = _row_spec(i, 42)
+        if s["kind"] != "image":
+            continue
+        payload = build_ppm(i, 42, s["width"], s["height"])
+        w, h = s["width"], s["height"]
+        hdr = len(f"P6\n{w} {h}\n255\n")
+        px = payload[hdr:]
+        out = bytearray(f"P6\n{ow} {oh}\n255\n".encode())
+        for r in range(oh):
+            sr = (r * h) // oh
+            for c in range(ow):
+                sc = (c * w) // ow
+                o = (sr * w + sc) * 3
+                out += px[o : o + 3]
+        rrows.append((i, _hl.md5(bytes(out)).hexdigest()))
+    rvals = ", ".join(f"(CAST({m} AS BIGINT), {ow}, {oh}, '{d}')" for m, d in rrows)
+    q["multimodal_resize"] = (
+        f"SELECT * FROM (VALUES {rvals}) t(media_id, width, height, payload_md5)"
     )
     return q

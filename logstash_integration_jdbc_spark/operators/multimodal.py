@@ -299,6 +299,56 @@ def sample_frames(df: DataFrame, every_n: int = 2, max_frames: int = 4,
     return vids.mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
 
 
+RESIZED_IMAGE_SCHEMA = "media_id bigint, width int, height int, payload binary"
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize of image payloads → re-encoded P6 PPM.
+
+    Real kernel (pure stdlib + numpy): decode the P6 header, reshape the
+    pixel buffer to (h, w, 3), gather rows/cols at the floor-mapped
+    source indices ``src = (dst * in) // out`` (plain integer floor —
+    deterministic and replicated by the pure-Python oracle twin), and
+    re-emit a standalone P6 payload. Other mimes raise
+    ``NotImplementedError`` naming the library to plug in (Pillow /
+    torchvision.transforms behind the same mapInPandas contract).
+
+    Scale: one Arrow-batched Python stage, no shuffle; output rows carry
+    out_w·out_h·3 bytes regardless of input size, so a resize-for-training
+    pass SHRINKS the data in flight — project the payload column only
+    where needed downstream.
+    """
+    import numpy as np
+
+    if out_w < 1 or out_h < 1:
+        raise ValueError("resize dims must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "width": [], "height": [], "payload": []}
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                b = bytes(payload)
+                if b[:2] != b"P6":
+                    raise NotImplementedError(
+                        f"image resize for {meta['mime']!r} requires Pillow; "
+                        "only P6 PPM decodes stdlib-side"
+                    )
+                w, h, start, end = parse_ppm(b)
+                px = np.frombuffer(b[start:end], dtype=np.uint8).reshape(h, w, 3)
+                rs = (np.arange(out_h, dtype=np.int64) * h) // out_h
+                cs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+                out = px[rs][:, cs]
+                header = f"P6\n{out_w} {out_h}\n255\n".encode("ascii")
+                rows["media_id"].append(mid)
+                rows["width"].append(out_w)
+                rows["height"].append(out_h)
+                rows["payload"].append(header + out.tobytes())
+            yield pd.DataFrame(rows)
+
+    imgs = df.filter(F.col("kind") == "image")
+    return imgs.mapInPandas(run, schema=RESIZED_IMAGE_SCHEMA)
+
+
 def media_stats(df: DataFrame) -> DataFrame:
     """Metadata-only aggregate — must NOT read the payload column.
 

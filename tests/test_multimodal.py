@@ -119,3 +119,68 @@ def test_media_stats_prunes_payload_column(media, spark, tmp_path):
     df = spark.read.parquet(p)
     plan = media_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "payload" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_resize_real_nearest_neighbor(media):
+    from logstash_integration_jdbc_spark.operators.multimodal import (
+        parse_ppm,
+        resize_images,
+    )
+
+    out = resize_images(media, out_w=8, out_h=6)
+    rows = {r.media_id: r for r in out.collect()}
+    srcs = {r.media_id: bytes(r.payload)
+            for r in media.filter(F.col("kind") == "image").collect()}
+    assert rows.keys() == srcs.keys()
+    for mid, r in rows.items():
+        b = bytes(r.payload)
+        w, h, start, end = parse_ppm(b)
+        assert (w, h) == (8, 6) and end == len(b)
+        # independent pure-Python nearest-neighbor expectation
+        sb = srcs[mid]
+        sw, sh, sstart, send = parse_ppm(sb)
+        px = sb[sstart:send]
+        expected = bytearray()
+        for rr in range(6):
+            sr = (rr * sh) // 6
+            for cc in range(8):
+                sc = (cc * sw) // 8
+                o = (sr * sw + sc) * 3
+                expected += px[o:o + 3]
+        assert b[start:end] == bytes(expected)
+
+
+def test_resize_upscale_and_identity(spark):
+    from logstash_integration_jdbc_spark.operators.multimodal import (
+        parse_ppm,
+        resize_images,
+    )
+
+    df = gen_media(spark, n_rows=40).filter(F.col("kind") == "image").limit(1)
+    src = df.collect()[0]
+    sw, sh = src.meta["width"], src.meta["height"]
+    # identity resize reproduces the source payload byte-for-byte
+    same = resize_images(df, out_w=sw, out_h=sh).collect()[0]
+    assert bytes(same.payload) == bytes(src.payload)
+    # upscale: dims change, payload stays a valid standalone PPM
+    up = resize_images(df, out_w=sw * 2, out_h=sh * 2).collect()[0]
+    w, h, _s, end = parse_ppm(bytes(up.payload))
+    assert (w, h) == (sw * 2, sh * 2) and end == len(bytes(up.payload))
+
+
+def test_resize_unsupported_mime_raises(spark):
+    from pyspark.sql import Row
+
+    from logstash_integration_jdbc_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_images,
+    )
+
+    jpeg = spark.createDataFrame(
+        [Row(media_id=1, kind="image", payload=b"\xff\xd8\xff\xe0fakejpeg",
+             meta=Row(width=4, height=4, sample_rate=0, n_frames=0,
+                      mime="image/jpeg"))],
+        schema=MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="Pillow"):
+        resize_images(jpeg, out_w=2, out_h=2).collect()
