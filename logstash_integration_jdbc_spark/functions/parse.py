@@ -126,18 +126,32 @@ _INLINE_TYPES = {"int": "int", "long": "bigint", "float": "double", "double": "d
 def _count_captures(s: str) -> int:
     """Capturing groups in a raw regex fragment.
 
-    Counts unescaped ``(`` not followed by ``?``. Literal segments of a
-    grok pattern are regex (grok semantics); users should write ``(?:``
-    for grouping — Java named groups in literal segments are unsupported.
+    Counts unescaped ``(`` not followed by ``?``, skipping character
+    classes — ``(`` inside ``[...]`` is a literal (URIPATH/URIPARAM
+    contain such classes; counting those would shift every later group
+    index). A ``]`` immediately after ``[`` or ``[^`` is literal too.
+    Literal segments of a grok pattern are regex (grok semantics); users
+    should write ``(?:`` for grouping — Java named groups in literal
+    segments are unsupported.
     """
     n = 0
     i = 0
+    in_class = False
+    class_start = -1
     while i < len(s):
         c = s[i]
         if c == "\\":
             i += 2
             continue
-        if c == "(" and (i + 1 >= len(s) or s[i + 1] != "?"):
+        if in_class:
+            # ']' is literal when it is the first member of the class
+            first = i == class_start or (i == class_start + 1 and s[class_start] == "^")
+            if c == "]" and not first:
+                in_class = False
+        elif c == "[":
+            in_class = True
+            class_start = i + 1
+        elif c == "(" and (i + 1 >= len(s) or s[i + 1] != "?"):
             n += 1
         i += 1
     return n

@@ -123,3 +123,41 @@ def test_extract_all_matches_extract(spark):
     for r in rows:
         for k in p.fields:
             assert r[f"f_{k}"] == r[f"s_{k}"]
+
+
+def test_count_captures_ignores_parens_in_char_class():
+    from logstash_integration_jdbc_spark.functions.parse import _count_captures
+
+    assert _count_captures(r"[()]") == 0
+    assert _count_captures(r"[^)](a)") == 1
+    assert _count_captures(r"[]()]") == 0        # ']' first in class is literal
+    assert _count_captures(r"[^]()]") == 0       # same after '^'
+    assert _count_captures(r"\[(a)\]") == 1      # escaped brackets do not open a class
+    assert _count_captures(r"(a)[(](b)") == 2
+
+
+@pytest.mark.parametrize("name", sorted(__import__(
+    "logstash_integration_jdbc_spark.functions.parse", fromlist=["GROK_PATTERNS"]
+).GROK_PATTERNS))
+def test_grok_group_indices_match_compiled_regex(name):
+    """Every registry pattern: the final field's assigned group index must
+    equal the real group count of the compiled regex (regression for the
+    char-class '(' miscount that shifted URI-family indices)."""
+    import re
+
+    from logstash_integration_jdbc_spark.functions.parse import compile_grok
+
+    rx, fields, _ = compile_grok("%%{%s:a} %%{WORD:w}" % name)
+    assert fields[-1][0] == "w"
+    assert fields[-1][1] == re.compile(rx).groups
+
+
+def test_uripath_extraction_not_shifted(spark):
+    p = GrokParser("%{URIPATH:p} %{WORD:w}")
+    rows = (
+        spark.createDataFrame([("/api/v1/items hello",)], "text string")
+        .select(*[c.alias(n) for n, c in p.extract(__import__(
+            "pyspark.sql.functions", fromlist=["col"]).col("text")).items()])
+        .collect()
+    )
+    assert rows[0].p == "/api/v1/items" and rows[0].w == "hello"
