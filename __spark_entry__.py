@@ -697,6 +697,30 @@ def _q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def _q_embedding_near_dups_scalable(spark, sf_dir):
+    # The 100 TB path (multi-probe 8×8-bit sketch blocking, dedup.py
+    # embedding_near_dups) against the SAME O(n²) oracle as the exact
+    # variant: miss probability ≈1.5e-6 per true pair at cosine 0.95, so
+    # at this scale the blocked candidate generation + exact JVM verify
+    # reproduces the all-pairs answer exactly.
+    from logstash_integration_jdbc_spark.operators.dedup import embedding_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    pert = emb.select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * F.when(i % 2 == 0, F.lit(1.35)).otherwise(F.lit(0.65)),
+        ).alias("embedding"),
+    )
+    both = emb.select("vec_id", "embedding").unionByName(pert)
+    return embedding_near_dups(both, min_cosine=0.95).select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cos4")
+    )
+
+
 def _q_media_stats(spark, sf_dir):
     # generated binary media table (no testdata media exists); the oracle
     # is the expected aggregate computed independently in pure Python
@@ -878,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dups_scalable": _q_embedding_near_dups_scalable,
         "multimodal_media_stats": _q_media_stats,
         "multimodal_frame_sample": _q_frame_sample,
         "multimodal_resize": _q_resize,
@@ -1510,6 +1535,10 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT id_a, id_b, round(cosine, 4) AS cos4 FROM pairs WHERE cosine >= 0.95
     """
+    # scalable multi-probe path: same all-pairs ground truth (the blocked
+    # candidate generation is recall ≈1-1.5e-6 at 0.95 and the verify is
+    # exact, so the answers coincide)
+    q["embedding_near_dups_scalable"] = q["embedding_near_dup"]
     # media stats: expected table derived in pure Python from the
     # deterministic per-row spec (_row_spec) — independent of the Spark
     # generator/mapInPandas/aggregation execution path.

@@ -43,6 +43,13 @@ HEADLINE = [
 ]
 
 BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "1000000"))
+# reps per timed item; min-of-k is the recorded number (the host shows
+# ±25% vCPU-speed variance — see BENCH_SCALING.md — so a single timed run
+# cannot distinguish a code regression from host noise)
+BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+# amortized-regime pipeline row count folded into the standard bench
+BENCH_8M_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_8M_ROWS", "8000000"))
+BENCH_8M_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_8M_REPS", "1"))
 SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "8000000"))
 SCALING_EXEC_CORES = int(os.environ.get("SPARK_GRAFT_SCALING_EXEC_CORES", "1"))
 
@@ -71,7 +78,8 @@ def _pipeline_input(spark, n_rows: int) -> str:
     return base
 
 
-def run_pipeline_bench(spark, n_rows: int, warm: bool = True) -> dict:
+def run_pipeline_bench(spark, n_rows: int, warm: bool = True,
+                       reps: int = 1) -> dict:
     from logstash_integration_jdbc_spark.pipeline import PipelineConfig, run_pipeline
 
     data = _pipeline_input(spark, n_rows)
@@ -95,12 +103,21 @@ def run_pipeline_bench(spark, n_rows: int, warm: bool = True) -> dict:
         run_pipeline(spark, cfg_for(f"{wdata}/transcripts.parquet",
                                     tempfile.mkdtemp(prefix="ljspark-warm-")))
 
-    out = tempfile.mkdtemp(prefix="ljspark-bench-out-")
-    t0 = time.time()
-    metrics = run_pipeline(spark, cfg_for(f"{data}/transcripts.parquet", out))
-    wall = time.time() - t0
-    rows = metrics["stages"].get("scan", {}).get("rows", n_rows)
-    return {"wall_sec": wall, "rows": rows, "turns_per_sec": rows / wall}
+    import shutil as _sh
+
+    walls, rows = [], n_rows
+    for _ in range(max(reps, 1)):
+        out = tempfile.mkdtemp(prefix="ljspark-bench-out-")
+        t0 = time.time()
+        metrics = run_pipeline(spark, cfg_for(f"{data}/transcripts.parquet", out))
+        walls.append(time.time() - t0)
+        rows = metrics["stages"].get("scan", {}).get("rows", n_rows)
+        # drop this rep's sink output while still dirty so later reps
+        # don't fight its page-cache writeback (same hygiene as --scaling)
+        _sh.rmtree(out, ignore_errors=True)
+    wall = min(walls)
+    return {"wall_sec": wall, "rows": rows, "turns_per_sec": rows / wall,
+            "wall_sec_median": sorted(walls)[len(walls) // 2], "reps": len(walls)}
 
 
 def main_bench() -> None:
@@ -115,22 +132,35 @@ def main_bench() -> None:
 
     qs = entrymod.queries()
     per_query: dict[str, float] = {}
+    per_query_median: dict[str, float] = {}
     total = 0.0
     # warm JVM + file-listing caches out of band so the first query's
     # number measures the query, not session boot
     spark.read.parquet(f"{sf_dir}/events.parquet").limit(1).count()
+    # best-of-k per query (k=BENCH_REPS): the min is the least
+    # noise-contaminated estimate; the median is recorded alongside so
+    # round-over-round drift can be split into code vs host noise
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        n = fn(spark, sf_dir).count()
-        dt = time.time() - t0
-        per_query[name] = round(dt, 3)
-        total += dt
-        _ = n
+        times = []
+        for _ in range(BENCH_REPS):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            times.append(time.time() - t0)
+        per_query[name] = round(min(times), 3)
+        per_query_median[name] = round(sorted(times)[len(times) // 2], 3)
+        total += min(times)
 
-    pipe = run_pipeline_bench(spark, BENCH_ROWS)
+    pipe = run_pipeline_bench(spark, BENCH_ROWS, reps=BENCH_REPS)
     per_query["pipeline_e2e"] = round(pipe["wall_sec"], 3)
+    per_query_median["pipeline_e2e"] = round(pipe["wall_sec_median"], 3)
     total += pipe["wall_sec"]
+
+    # amortized regime: one (configurable) rep at 8M rows — JVM/codegen
+    # already hot from the 1M reps, so a single run is steady-state
+    pipe8m = run_pipeline_bench(spark, BENCH_8M_ROWS, warm=False,
+                                reps=BENCH_8M_REPS)
+    per_query["pipeline_e2e_8m"] = round(pipe8m["wall_sec"], 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
@@ -138,9 +168,13 @@ def main_bench() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": per_query,
+        "queries_median": per_query_median,
+        "reps": BENCH_REPS,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "pipeline_rows": pipe["rows"],
         "pipeline_turns_per_sec": round(pipe["turns_per_sec"], 1),
+        "pipeline_8m_rows": pipe8m["rows"],
+        "pipeline_8m_turns_per_sec": round(pipe8m["turns_per_sec"], 1),
         "cpus": int(cpus),
     }))
 

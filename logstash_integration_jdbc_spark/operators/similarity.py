@@ -173,28 +173,39 @@ def lsh_topk(
     The 16-bit sketch splits into 4 nibbles-of-4-bits blocks; a corpus row
     is a candidate for a query iff some block matches (pigeonhole over
     small angular distance). Exact cosine ranks the candidates.
+
+    The candidate pair set is deduped as BARE (query_id, corpus_id)
+    pairs — a pair can match in up to 4 blocks, and the dedup exchange
+    must not carry two embedding vectors per duplicate (at 768-d float
+    that is ~6 KB of dead weight per row through the shuffle). Vectors
+    re-attach afterwards: corpus side by join on corpus_id, query side
+    by broadcast (the query set is small by contract).
     """
-    def with_blocks(df: DataFrame, idc: str) -> DataFrame:
+    def id_blocks(df: DataFrame, idc: str) -> DataFrame:
         sk = hyperplane_sketch(F.col(vec_col), bits)
-        return df.select(F.col(idc), F.col(vec_col), sk.alias("__sk")).select(
-            idc, vec_col,
+        return df.select(F.col(idc), sk.alias("__sk")).select(
+            idc,
             F.posexplode(F.array(*[
                 F.shiftright(F.col("__sk"), b * 4).bitwiseAND(F.lit(0xF))
                 for b in range(bits // 4)
             ])).alias("__blk", "__val"),
         )
 
-    c = with_blocks(corpus, corpus_id)
-    q = with_blocks(queries, query_id).withColumnRenamed(vec_col, "__qvec")
-    cand = (
-        c.join(F.broadcast(q), ["__blk", "__val"])
+    pairs = (
+        id_blocks(corpus, corpus_id)
+        .join(F.broadcast(id_blocks(queries, query_id)), ["__blk", "__val"])
         .filter(F.col(corpus_id) != F.col(query_id))
-        .select(query_id, corpus_id, vec_col, "__qvec")
+        .select(query_id, corpus_id)
         .dropDuplicates([query_id, corpus_id])
     )
-    scored = cand.select(
-        query_id, corpus_id,
-        cosine_expr(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+    scored = (
+        pairs.join(corpus.select(F.col(corpus_id), F.col(vec_col)), corpus_id)
+        .join(F.broadcast(queries.select(F.col(query_id),
+                                         F.col(vec_col).alias("__qvec"))), query_id)
+        .select(
+            query_id, corpus_id,
+            cosine_expr(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+        )
     )
     return _topk_per_query(scored, query_id, corpus_id, k)
 

