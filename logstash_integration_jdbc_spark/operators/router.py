@@ -158,7 +158,26 @@ class Router:
                     try:
                         # V2 dynamic overwrite — the Iceberg path
                         out.writeTo(catalog_table).overwritePartitions()
-                    except Exception:
+                    except Exception as e:
+                        # Fall back ONLY for the capability gap (v1
+                        # session-catalog tables don't take V2 writes) —
+                        # a genuine data/write error must surface, not be
+                        # silently rerouted after a possible partial write.
+                        from pyspark.errors import AnalysisException
+
+                        msg = str(e)
+                        v1_gap = isinstance(e, AnalysisException) or any(
+                            s in msg for s in ("UnsupportedOperation",
+                                               "does not support",
+                                               "TABLE_OPERATION"))
+                        if not v1_gap:
+                            raise
+                        import logging
+
+                        logging.getLogger(__name__).warning(
+                            "V2 overwritePartitions unsupported for %s; "
+                            "falling back to dynamic insertInto (%s)",
+                            catalog_table, msg.splitlines()[0] if msg else type(e).__name__)
                         # v1 session-catalog tables (this sandbox) don't
                         # take V2 writes: same semantics via dynamic
                         # partition-overwrite insertInto

@@ -89,6 +89,15 @@ class PipelineConfig:
     tracking_column: str = "ts"
     n_salts: int = 8
     max_dim_rows: int = 1_000_000
+    # Aggregate-input policy. True (default): read the just-written sinks
+    # back, pruned to 4 columns — measured fastest on local disk. False:
+    # derive the hourly counts from the routed frame directly (a second
+    # action recomputing the map-only parse/enrich over the pruned raw
+    # scan) — no sink read-back, the right choice when the sink sits on
+    # high-latency object storage where a re-read pays a full round trip.
+    # Both produce identical rows (deterministic routing). Measurements
+    # at sf0.1 recorded in BASELINE.md.
+    agg_from_sinks: bool = True
     # reference defaults: statement_retry_attempts 1, wait 0.5 s
     # (jdbc.rb mixin :111-114); retries re-run the whole sink write under
     # the same run_id (idempotent dynamic overwrite)
@@ -212,18 +221,27 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, Any]:
     )
     observed = router.last_observed
 
-    # per-sink hourly aggregates from the just-written sinks — reading
-    # the routed output back (columnar, pruned to 4 columns) is far
-    # cheaper than recomputing parse+enrich over the raw batch, and it
-    # aggregates exactly what was committed.
+    # per-sink hourly aggregates — two sources, same rows (deterministic
+    # routing), selected by cfg.agg_from_sinks:
+    # - sinks read-back (default): columnar re-read pruned to 4 columns;
+    #   cheapest on local/low-latency storage, aggregates exactly what
+    #   was committed.
+    # - routed-frame recompute: second action over the pruned raw scan
+    #   (regex + broadcast probes re-run, no shuffle, no sink read) —
+    #   avoids the extra storage round trip on S3-like sinks.
     agg_counts: dict[str, int] = {}
     if sum(sink_counts.values()) > 0:
         from pyspark.sql import Observation
 
-        sinks_back = spark.read.parquet(os.path.join(cfg.out_dir, "sinks")).filter(
-            F.col("run_id") == run_id
-        )
-        agg = hourly_counts(sinks_back, keys=("sink", "role", "tool")).withColumn(
+        if cfg.agg_from_sinks:
+            agg_src = spark.read.parquet(os.path.join(cfg.out_dir, "sinks")).filter(
+                F.col("run_id") == run_id
+            )
+        else:
+            agg_src = enriched.withColumn("sink", router.sink_expr()).select(
+                "sink", "role", "tool", "ts"
+            )
+        agg = hourly_counts(agg_src, keys=("sink", "role", "tool")).withColumn(
             "run_id", F.lit(run_id)
         )
         sink_names = [k for k, v in sink_counts.items() if v > 0]

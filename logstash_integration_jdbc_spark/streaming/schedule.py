@@ -97,7 +97,15 @@ def _parse_field(spec: str, lo: int, hi: int) -> frozenset[int] | None:
 
 @dataclass(frozen=True)
 class CronLine:
-    """Parsed cron line with ``next_time`` (strictly-after semantics)."""
+    """Parsed cron line with ``next_time`` (strictly-after semantics).
+
+    A trailing IANA timezone token is accepted (rufus-scheduler
+    extension the reference's ``schedule`` docs imply,
+    /root/reference/lib/logstash/inputs/jdbc.rb:176-181):
+    ``'0 9 * * * America/Chicago'`` aligns to Chicago wall-clock,
+    DST shifts included. Stored as ``tz``; None means "use the
+    scheduler's default".
+    """
 
     seconds: frozenset[int] | None
     minutes: frozenset[int] | None
@@ -106,10 +114,19 @@ class CronLine:
     months: frozenset[int] | None
     weekdays: frozenset[int] | None
     has_seconds: bool
+    tz: object | None = None  # zoneinfo.ZoneInfo when present in the line
 
     @classmethod
     def parse(cls, line: str) -> CronLine:
         fields = line.split()
+        tz = None
+        # numeric-only cron fields mean any alphabetic trailing token is
+        # a timezone name (unknown names raise from ZoneInfo)
+        if fields and re.search(r"[A-Za-z]", fields[-1]):
+            from zoneinfo import ZoneInfo
+
+            tz = ZoneInfo(fields[-1])
+            fields = fields[:-1]
         if len(fields) == 5:
             fields = ["0"] + fields
             has_seconds = False
@@ -124,7 +141,7 @@ class CronLine:
         if wd is not None and 7 in wd:  # 0 and 7 both mean Sunday
             wd = frozenset(wd - {7}) | {0}
         return cls(parsed[0], parsed[1], parsed[2], parsed[3], parsed[4],
-                   wd, has_seconds)
+                   wd, has_seconds, tz)
 
     def _day_ok(self, dt: datetime) -> bool:
         # Vixie OR rule: if both dom and dow are restricted, either matches
@@ -247,10 +264,15 @@ class Scheduler:
                 self.sleep(self.interval)
                 self._fire()
         else:
+            # a timezone in the cron line itself wins over the default
+            cron_tz = self.cron.tz or self.tz
             while not done():
-                now = datetime.fromtimestamp(self.clock(), self.tz)
+                now = datetime.fromtimestamp(self.clock(), cron_tz)
                 nxt = self.cron.next_time(now)
-                delay = (nxt - now).total_seconds()
+                # absolute delta, NOT (nxt - now): same-tzinfo aware
+                # subtraction is wall-clock in Python, which would sleep
+                # an extra hour across a spring-forward gap
+                delay = nxt.timestamp() - self.clock()
                 if delay > 0:
                     self.sleep(delay)
                 self._fire()

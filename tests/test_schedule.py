@@ -215,3 +215,62 @@ def test_scheduled_incremental_runs(spark, tmp_path):
     sched = Scheduler(job, schedule="* * * * *", clock=clk, sleep=clk.sleep)
     sched.run(max_runs=3)
     assert seen == [10, 5, 0]
+
+
+class TestCronTimezone:
+    def test_trailing_tz_parsed(self):
+        from zoneinfo import ZoneInfo
+
+        cl = CronLine.parse("0 9 * * * America/Chicago")
+        assert cl.tz == ZoneInfo("America/Chicago")
+        assert cl.hours == frozenset({9}) and not cl.has_seconds
+        # 6-field (seconds) + tz also parses
+        cl6 = CronLine.parse("30 0 9 * * * Europe/Paris")
+        assert cl6.has_seconds and cl6.tz == ZoneInfo("Europe/Paris")
+
+    def test_unknown_tz_rejected(self):
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            CronLine.parse("0 9 * * * Not/AZone")
+
+    def test_next_time_across_spring_forward(self):
+        """2026-03-08 02:00 CST does not exist in America/Chicago; the
+        9 AM firing is 8 wall-free hours after local midnight."""
+        from datetime import datetime
+        from zoneinfo import ZoneInfo
+
+        cl = CronLine.parse("0 9 * * * America/Chicago")
+        now = datetime(2026, 3, 8, 0, 0, tzinfo=ZoneInfo("America/Chicago"))
+        nxt = cl.next_time(now)
+        assert (nxt.hour, nxt.minute) == (9, 0)
+        # absolute gap is 8 h (the 02:00 hour does not exist); note
+        # same-tzinfo subtraction would report the 9 h WALL difference
+        assert nxt.timestamp() - now.timestamp() == 8 * 3600
+
+    def test_scheduler_uses_cron_line_tz(self):
+        """Simulated clock: the delay to the next 9 AM Chicago firing
+        reflects the line's tz, not the scheduler default (UTC)."""
+        from datetime import datetime, timezone
+        from zoneinfo import ZoneInfo
+
+        # 2026-03-08 06:00 UTC == 2026-03-08 00:00 America/Chicago
+        start = datetime(2026, 3, 8, 6, 0, tzinfo=timezone.utc).timestamp()
+        t = [start]
+        slept = []
+
+        def clock():
+            return t[0]
+
+        def sleep(d):
+            slept.append(d)
+            t[0] += d
+
+        sch = Scheduler(fn=lambda: None, schedule="0 9 * * * America/Chicago",
+                        clock=clock, sleep=sleep)
+        sch.run(max_runs=1)
+        # spring-forward: 9 AM CDT is 8 real hours after local midnight
+        assert slept and abs(slept[0] - 8 * 3600) < 61
+        fired = datetime.fromtimestamp(sch.fire_times[0],
+                                       ZoneInfo("America/Chicago"))
+        assert (fired.hour, fired.minute) == (9, 0)
