@@ -16,6 +16,7 @@ applied identically on both sides.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -766,11 +767,35 @@ def _q_resize(spark, sf_dir):
     )
 
 
-# Fixed location for the deterministic generated pipeline input: the
-# query functions (over)write it, the DuckDB oracles reimplement the
-# parse→enrich→route logic over it with read_parquet. The content is a
-# pure function of (n_rows=5000, seed=42) — identical every run.
-_PIPELINE_ORACLE_DIR = "/tmp/ljspark_oracle"
+def _q_png_resize(spark, sf_dir):
+    # real PNG through the driver gate: zlib-decode → filter-reconstruct
+    # → gather → re-encode; the oracle builds the expected md5 from the
+    # deterministic pixel spec WITHOUT running the decoder (so a decode
+    # or filter bug cannot cancel out — only encode_png is shared, and
+    # the input side exercises parse_png against independently filtered
+    # scanlines via the generator's encoder).
+    from logstash_integration_jdbc_spark.operators.multimodal import (
+        gen_media,
+        resize_images,
+    )
+
+    _pin(spark)
+    out = resize_images(gen_media(spark, n_rows=300, image_format="png"),
+                        out_w=11, out_h=9)
+    return out.select(
+        "media_id", "width", "height", F.md5(F.col("payload")).alias("payload_md5")
+    )
+
+
+# Location for the deterministic generated pipeline input: the query
+# functions write it once (marker-protocol — the content is a pure
+# function of (n_rows=5000, seed=42), so a dir that already carries the
+# _DONE marker is byte-identical and is NOT rewritten; this removes the
+# overwrite race between concurrent runs the round-2 fixed-dir had),
+# and the DuckDB oracles reimplement parse→enrich→route over it with
+# read_parquet. Overridable for non-default environments.
+_PIPELINE_ORACLE_DIR = os.environ.get(
+    "SPARK_GRAFT_PIPELINE_ORACLE_DIR", "/tmp/ljspark_oracle-5000-42")
 
 
 def _write_pipeline_input(spark):
@@ -782,9 +807,14 @@ def _write_pipeline_input(spark):
     )
 
     tr = gen_transcripts(spark, n_rows=5000, seed=42)
-    tr.write.mode("overwrite").parquet(_os.path.join(_PIPELINE_ORACLE_DIR, "transcripts.parquet"))
-    gen_tool_dim(spark).write.mode("overwrite").parquet(
-        _os.path.join(_PIPELINE_ORACLE_DIR, "tool_dim.parquet"))
+    marker = _os.path.join(_PIPELINE_ORACLE_DIR, "_DONE")
+    if not _os.path.exists(marker):
+        tr.write.mode("overwrite").parquet(
+            _os.path.join(_PIPELINE_ORACLE_DIR, "transcripts.parquet"))
+        gen_tool_dim(spark).write.mode("overwrite").parquet(
+            _os.path.join(_PIPELINE_ORACLE_DIR, "tool_dim.parquet"))
+        with open(marker, "w", encoding="utf-8") as fh:
+            fh.write("n_rows=5000 seed=42")
     return tr
 
 
@@ -906,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_media_stats": _q_media_stats,
         "multimodal_frame_sample": _q_frame_sample,
         "multimodal_resize": _q_resize,
+        "multimodal_png_resize": _q_png_resize,
         "streaming_counts": _q_streaming_counts,
         "transcript_pipeline": _q_transcript_pipeline,
     }
@@ -915,11 +946,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles
 # ---------------------------------------------------------------------------
 
-# The driver evaluates oracles at this scale factor (TESTDATA.md); the
+# The driver contract evaluates oracles at sf0.01 (TESTDATA.md); the
 # xxhash64-based expected tables below are computed from its parquet by
-# an independent pure-Python implementation (functions/xxhash.py).
-_ORACLE_SF_DIR = "/root/testdata/sf0.01"
-_XXHASH_ORACLE_CACHE: dict[str, str] = {}
+# an independent pure-Python implementation (functions/xxhash.py). For a
+# different evaluation scale set SPARK_GRAFT_ORACLE_SF_DIR — the values
+# are recomputed against that dir (cached per dir per process).
+_ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                                "/root/testdata/sf0.01")
+_XXHASH_ORACLE_CACHE: dict[tuple[str, str], str] = {}
 
 
 def _read_docs() -> list[tuple[int, str]]:
@@ -929,6 +963,22 @@ def _read_docs() -> list[tuple[int, str]]:
         f"SELECT doc_id, text FROM read_parquet('{_ORACLE_SF_DIR}/documents.parquet') "
         "ORDER BY doc_id"
     ).fetchall()
+
+
+def _value_oracle(key: str, build) -> str:
+    """Build (once per sf dir) a VALUES-table oracle from pure Python.
+
+    A missing testdata dir degrades to a DESCRIPTIVE failing SQL for
+    THIS key only — requesting any other oracle must not depend on the
+    documents parquet existing (ADVICE r2)."""
+    ck = (key, _ORACLE_SF_DIR)
+    if ck not in _XXHASH_ORACLE_CACHE:
+        if not os.path.exists(os.path.join(_ORACLE_SF_DIR, "documents.parquet")):
+            return (f"SELECT error('oracle {key} needs "
+                    f"{_ORACLE_SF_DIR}/documents.parquet; set "
+                    "SPARK_GRAFT_ORACLE_SF_DIR') AS missing")
+        _XXHASH_ORACLE_CACHE[ck] = build()
+    return _XXHASH_ORACLE_CACHE[ck]
 
 
 def _py_simhash(text: str) -> int:
@@ -972,8 +1022,6 @@ def _simhash_oracle_values() -> str:
     """Expected (id_a, id_b, hamming ≤ 3) pairs over the doubled corpus,
     via pure-Python simhash + numpy O(n²) popcount (exact: pigeonhole
     guarantees the 4×16-bit blocking finds every pair at hamming ≤ 3)."""
-    if "simhash" in _XXHASH_ORACLE_CACHE:
-        return _XXHASH_ORACLE_CACHE["simhash"]
     import numpy as np
 
     docs = _read_docs()
@@ -994,23 +1042,17 @@ def _simhash_oracle_values() -> str:
     iu = np.triu_indices(len(ids), k=1)
     rows = [(int(ids[i]), int(ids[j]), int(pop[i, j]))
             for i, j in zip(*iu) if pop[i, j] <= 3]
-    sql = "SELECT * FROM (VALUES " + ", ".join(
+    return "SELECT * FROM (VALUES " + ", ".join(
         f"(CAST({a} AS BIGINT), CAST({b} AS BIGINT), CAST({h} AS INT))"
         for a, b, h in rows
     ) + ") t(id_a, id_b, hamming)"
-    _XXHASH_ORACLE_CACHE["simhash"] = sql
-    return sql
 
 
 def _fingerprint_oracle_values() -> str:
-    if "fp" in _XXHASH_ORACLE_CACHE:
-        return _XXHASH_ORACLE_CACHE["fp"]
     rows = [(did, _py_fingerprint(text)) for did, text in _read_docs()]
-    sql = "SELECT * FROM (VALUES " + ", ".join(
+    return "SELECT * FROM (VALUES " + ", ".join(
         f"(CAST({d} AS BIGINT), CAST({fp} AS BIGINT))" for d, fp in rows
     ) + ") t(doc_id, fingerprint)"
-    _XXHASH_ORACLE_CACHE["fp"] = sql
-    return sql
 
 _STOP_EN = "'the','and','of','to','a','in','is','that','it','for'"
 _STOP = {
@@ -1314,8 +1356,8 @@ def oracle_sql() -> dict[str, str]:
         FROM read_parquet('{_PIPELINE_ORACLE_DIR}/transcripts.parquet/*.parquet')
         GROUP BY 1
     """
-    q["dedup_simhash"] = _simhash_oracle_values()
-    q["text_fingerprint"] = _fingerprint_oracle_values()
+    q["dedup_simhash"] = _value_oracle("simhash", _simhash_oracle_values)
+    q["text_fingerprint"] = _value_oracle("fp", _fingerprint_oracle_values)
     q["dedup_minhash"] = f"""
         WITH {_SHINGLES_CTE}
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1606,5 +1648,40 @@ def oracle_sql() -> dict[str, str]:
     rvals = ", ".join(f"(CAST({m} AS BIGINT), {ow}, {oh}, '{d}')" for m, d in rrows)
     q["multimodal_resize"] = (
         f"SELECT * FROM (VALUES {rvals}) t(media_id, width, height, payload_md5)"
+    )
+    # PNG resize: expected md5 built from the deterministic PIXEL SPEC
+    # (pure-Python gather over _pixel_bytes) — the Spark side must
+    # zlib-decode + filter-reconstruct those pixels back out of the PNG
+    # container first, so a parse_png bug breaks the md5. encode_png is
+    # the only shared code (deterministic stdlib zlib).
+    from logstash_integration_jdbc_spark.operators.multimodal import (
+        _pixel_bytes,
+        encode_png,
+    )
+
+    pw, ph = 11, 9
+    prows = []
+    for i in range(300):
+        s = _row_spec(i, 42)
+        if s["kind"] != "image":
+            continue
+        w, h = s["width"], s["height"]
+        px = _pixel_bytes(i, 42, w * h * 3)
+        out = []
+        for r in range(ph):
+            sr = (r * h) // ph
+            row = []
+            for c in range(pw):
+                sc = (c * w) // pw
+                o = (sr * w + sc) * 3
+                row.append([px[o], px[o + 1], px[o + 2]])
+            out.append(row)
+        import numpy as _np
+
+        payload = encode_png(_np.array(out, dtype=_np.uint8))
+        prows.append((i, _hl.md5(payload).hexdigest()))
+    pvals = ", ".join(f"(CAST({m} AS BIGINT), {pw}, {ph}, '{d}')" for m, d in prows)
+    q["multimodal_png_resize"] = (
+        f"SELECT * FROM (VALUES {pvals}) t(media_id, width, height, payload_md5)"
     )
     return q

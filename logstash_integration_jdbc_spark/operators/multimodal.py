@@ -6,8 +6,11 @@ Arrow-batched ``mapInPandas`` stages. The container ships no image/audio
 libraries, so the REAL kernels are pure-stdlib decoders of real public
 formats:
 
-- image: binary PPM (P6) — header parse + pixel-stat features;
-- audio: RIFF/WAVE PCM16 — header parse + RMS/duration;
+- image: binary PPM (P6) — header parse + pixel-stat features — and
+  8-bit PNG (gray/RGB/RGBA, non-interlaced): zlib-inflated IDAT with
+  full scanline-filter reconstruction, plus a minimal PNG encoder for
+  the resize path;
+- audio: RIFF/WAVE PCM16 — chunk-walked fmt/data parse + RMS/duration;
 - video: a length-delimited container of concatenated PPM frames
   (synthetic but genuinely parsed; a real deployment swaps in
   pyav/ffmpeg behind the same mapInPandas contract).
@@ -15,8 +18,8 @@ formats:
 ``gen_media`` emits valid payloads in exactly these formats, so the
 default (non-fake) path decodes real bytes end-to-end. ``fake=True``
 keeps the hash-derived stand-in kernels for plumbing tests and for
-payload formats the stdlib can't decode (JPEG/PNG/MP4 raise
-``NotImplementedError`` naming the library to plug in).
+payload formats the stdlib can't decode (JPEG/MP4 and exotic PNGs
+raise ``NotImplementedError`` naming the library to plug in).
 
 Scale notes: binary payloads dominate row size, so all plumbing
 repartitions by a size-aware key before the Python stage (Arrow batches
@@ -113,8 +116,21 @@ def build_frame_container(media_id: int, seed: int, width: int, height: int,
                     for i in range(n_frames))
 
 
-def build_payload(spec: dict, seed: int) -> bytes:
+def build_image_pixels(media_id: int, seed: int, width: int, height: int):
+    """Deterministic (h, w, 3) uint8 pixel array (shared by generator
+    and independent oracle twins)."""
+    import numpy as np
+
+    return np.frombuffer(
+        _pixel_bytes(media_id, seed, width * height * 3), dtype=np.uint8
+    ).reshape(height, width, 3)
+
+
+def build_payload(spec: dict, seed: int, image_format: str = "ppm") -> bytes:
     if spec["kind"] == "image":
+        if image_format == "png":
+            return encode_png(build_image_pixels(
+                spec["media_id"], seed, spec["width"], spec["height"]))
         return build_ppm(spec["media_id"], seed, spec["width"], spec["height"])
     if spec["kind"] == "audio":
         n_samples = spec["sample_rate"] // 10  # 100 ms
@@ -123,23 +139,29 @@ def build_payload(spec: dict, seed: int) -> bytes:
                                  spec["height"], spec["n_frames"])
 
 
-def gen_media(spark, n_rows: int = 100, seed: int = 42) -> DataFrame:
-    """Deterministic media table with REAL payload bytes (PPM/WAV/frames)."""
+def gen_media(spark, n_rows: int = 100, seed: int = 42,
+              image_format: str = "ppm") -> DataFrame:
+    """Deterministic media table with REAL payload bytes (PPM/WAV/frames;
+    ``image_format="png"`` emits images as real zlib-compressed PNGs)."""
+    if image_format not in ("ppm", "png"):
+        raise ValueError(f"unsupported image_format {image_format!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid in pdf["id"]:
                 spec = _row_spec(int(mid), seed)
+                mime = ("image/png" if spec["kind"] == "image"
+                        and image_format == "png" else _MIMES[spec["kind"]])
                 rows.append({
                     "media_id": int(mid),
                     "kind": spec["kind"],
-                    "payload": build_payload(spec, seed),
+                    "payload": build_payload(spec, seed, image_format),
                     "meta": {
                         "width": spec["width"], "height": spec["height"],
                         "sample_rate": spec["sample_rate"],
                         "n_frames": spec["n_frames"],
-                        "mime": _MIMES[spec["kind"]],
+                        "mime": mime,
                     },
                 })
             yield pd.DataFrame(rows)
@@ -150,6 +172,112 @@ def gen_media(spark, n_rows: int = 100, seed: int = 42) -> DataFrame:
 # ---------------------------------------------------------------------------
 # decode kernels
 # ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def parse_png(payload: bytes):
+    """Pure-stdlib PNG decode → (width, height, RGB ndarray (h, w, 3)).
+
+    Real format, real decoder: zlib (stdlib) inflates the IDAT stream and
+    the five scanline filters (None/Sub/Up/Average/Paeth) reconstruct
+    per the PNG spec. Supported: 8-bit depth, color types 0 (gray),
+    2 (RGB), 6 (RGBA), non-interlaced — i.e. what `zlib`-only decoding
+    can cover; palette/16-bit/interlaced raise ``NotImplementedError``
+    naming Pillow. Gray expands and alpha drops so every caller sees
+    RGB. Filters Sub/Up use vectorized numpy (Sub is a mod-256 cumsum
+    along x); Average/Paeth fall back to a per-pixel loop — correct
+    first; a production build swaps Pillow into the same contract.
+    """
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack_from(">I", payload, pos), payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or color not in (0, 2, 6):
+        raise NotImplementedError(
+            f"PNG depth={depth} color_type={color} interlace={interlace} "
+            "needs Pillow; stdlib path covers 8-bit gray/RGB/RGBA non-interlaced"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, dtype=np.uint8,
+                             count=stride, offset=y * (stride + 1) + 1)
+        if f == 0:            # None
+            rec = line.copy()
+        elif f == 1:          # Sub: mod-256 cumsum per channel lane
+            rec = np.cumsum(line.reshape(w, ch).astype(np.uint64),
+                            axis=0).astype(np.uint8).reshape(stride)
+        elif f == 2:          # Up
+            rec = line + prev
+        elif f in (3, 4):     # Average / Paeth: sequential along x
+            rec = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                if f == 3:
+                    rec[x] = (int(line[x]) + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out[y] = rec
+        prev = rec
+    px = out.reshape(h, w, ch)
+    if ch == 1:
+        px = np.repeat(px, 3, axis=2)
+    elif ch == 4:
+        px = px[:, :, :3]
+    return w, h, px
+
+
+def encode_png(px) -> bytes:
+    """Minimal valid PNG encoder: 8-bit RGB, filter 0, one IDAT."""
+    import zlib
+
+    import numpy as np
+
+    px = np.ascontiguousarray(px, dtype=np.uint8)
+    h, w, ch = px.shape
+    if ch != 3:
+        raise ValueError("encode_png expects (h, w, 3) RGB")
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
 
 def parse_ppm(payload: bytes, offset: int = 0) -> tuple[int, int, int, int]:
     """Parse one P6 PPM at ``offset`` → (width, height, pixel_start, end)."""
@@ -196,6 +324,18 @@ def _ppm_features(payload: bytes, dim: int) -> tuple[int, int, list[float]]:
     return w, h, [float(b.mean() / 255.0) if len(b) else 0.0 for b in buckets]
 
 
+def _png_features(payload: bytes, dim: int) -> tuple[int, int, list[float]]:
+    """Same bucket-mean features over the PNG-decoded RGB pixel stream."""
+    import numpy as np
+
+    w, h, px = parse_png(payload)
+    flat = px.reshape(-1).astype(np.float64)
+    if len(flat) == 0:
+        return w, h, [0.0] * dim
+    buckets = np.array_split(flat, dim)
+    return w, h, [float(b.mean() / 255.0) if len(b) else 0.0 for b in buckets]
+
+
 def extract_image_features(df: DataFrame, dim: int = 32, fake: bool = False) -> DataFrame:
     """Decode + featurize image payloads via mapInPandas (Arrow batches).
 
@@ -215,10 +355,12 @@ def extract_image_features(df: DataFrame, dim: int = 32, fake: bool = False) -> 
                     w, h, feats = meta["width"], meta["height"], _fake_features(payload, dim)
                 elif payload[:2] == b"P6":
                     w, h, feats = _ppm_features(bytes(payload), dim)
+                elif bytes(payload[:8]) == _PNG_SIG:
+                    w, h, feats = _png_features(bytes(payload), dim)
                 else:
                     raise NotImplementedError(
                         f"image decode for {meta['mime']!r} requires Pillow/"
-                        "torchvision; only P6 PPM decodes stdlib-side"
+                        "torchvision; P6 PPM and 8-bit PNG decode stdlib-side"
                     )
                 rows["media_id"].append(mid)
                 rows["width"].append(w)
@@ -245,10 +387,30 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
                     raise NotImplementedError(
                         "audio decode beyond RIFF/WAVE PCM needs soundfile/ffmpeg"
                     )
-                rate = struct.unpack_from("<I", b, 24)[0]
-                data_len = struct.unpack_from("<I", b, 40)[0]
+                # Walk RIFF chunks for 'fmt ' and 'data' — spec-valid WAVs
+                # may carry LIST/INFO or an extended fmt block before the
+                # data chunk, so fixed offsets 24/40/44 mis-parse them.
+                rate = data_off = data_len = None
+                pos = 12
+                while pos + 8 <= len(b):
+                    cid = b[pos : pos + 4]
+                    clen = struct.unpack_from("<I", b, pos + 4)[0]
+                    if cid == b"fmt ":
+                        audio_fmt, _nch = struct.unpack_from("<HH", b, pos + 8)
+                        if audio_fmt != 1:
+                            raise NotImplementedError(
+                                f"WAV audio format {audio_fmt} (non-PCM) needs soundfile"
+                            )
+                        rate = struct.unpack_from("<I", b, pos + 12)[0]
+                    elif cid == b"data":
+                        data_off, data_len = pos + 8, clen
+                    pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+                if rate is None or data_off is None:
+                    raise NotImplementedError(
+                        "WAV missing fmt/data chunk; needs soundfile/ffmpeg"
+                    )
                 samples = np.frombuffer(b, dtype="<i2", count=data_len // 2,
-                                        offset=44).astype(np.float64)
+                                        offset=data_off).astype(np.float64)
                 n = len(samples)
                 rows["media_id"].append(mid)
                 rows["sample_rate"].append(rate)
@@ -328,21 +490,29 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
             rows = {"media_id": [], "width": [], "height": [], "payload": []}
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
                 b = bytes(payload)
-                if b[:2] != b"P6":
+                is_png = b[:8] == _PNG_SIG
+                if is_png:
+                    w, h, px = parse_png(b)
+                elif b[:2] == b"P6":
+                    w, h, start, end = parse_ppm(b)
+                    px = np.frombuffer(b[start:end], dtype=np.uint8).reshape(h, w, 3)
+                else:
                     raise NotImplementedError(
                         f"image resize for {meta['mime']!r} requires Pillow; "
-                        "only P6 PPM decodes stdlib-side"
+                        "P6 PPM and 8-bit PNG decode stdlib-side"
                     )
-                w, h, start, end = parse_ppm(b)
-                px = np.frombuffer(b[start:end], dtype=np.uint8).reshape(h, w, 3)
                 rs = (np.arange(out_h, dtype=np.int64) * h) // out_h
                 cs = (np.arange(out_w, dtype=np.int64) * w) // out_w
                 out = px[rs][:, cs]
-                header = f"P6\n{out_w} {out_h}\n255\n".encode("ascii")
+                if is_png:
+                    payload_out = encode_png(out)  # PNG in → PNG out
+                else:
+                    header = f"P6\n{out_w} {out_h}\n255\n".encode("ascii")
+                    payload_out = header + out.tobytes()
                 rows["media_id"].append(mid)
                 rows["width"].append(out_w)
                 rows["height"].append(out_h)
-                rows["payload"].append(header + out.tobytes())
+                rows["payload"].append(payload_out)
             yield pd.DataFrame(rows)
 
     imgs = df.filter(F.col("kind") == "image")

