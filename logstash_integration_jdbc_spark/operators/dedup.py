@@ -339,11 +339,20 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
 
 # -- embedding near-dup -------------------------------------------------------
 
-def _tile_count(n_rows: int, target_tile_rows: int) -> int:
-    """Number of hash blocks so a tile holds ≤ target_tile_rows vectors."""
+def _tile_count(n_rows: int, target_tile_rows: int,
+                min_parallelism: int = 1) -> int:
+    """Number of hash blocks B so a tile holds ≤ target_tile_rows vectors
+    AND the B(B+1)/2 tile-pair groups keep ≥ min_parallelism tasks busy
+    (a small corpus with the memory-bound B alone would run 3 GEMM tasks
+    on a 32-core cluster). Shuffle volume is n·B, so the floor only
+    raises B when the memory bound leaves cores idle — and never past
+    the point of one-row tiles."""
     import math
 
-    return max(math.ceil(max(n_rows, 1) / max(target_tile_rows, 1)), 1)
+    b_mem = math.ceil(max(n_rows, 1) / max(target_tile_rows, 1))
+    # smallest B with B(B+1)/2 >= min_parallelism
+    b_par = math.ceil((math.sqrt(8 * max(min_parallelism, 1) + 1) - 1) / 2)
+    return max(min(max(b_mem, b_par), max(n_rows, 1)), 1)
 
 
 def exact_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
@@ -389,7 +398,9 @@ def exact_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
     )
 
     if n_blocks is None:
-        n_blocks = _tile_count(df.select(id_col).count(), target_tile_rows)
+        n_blocks = _tile_count(
+            df.select(id_col).count(), target_tile_rows,
+            min_parallelism=df.sparkSession.sparkContext.defaultParallelism)
     margin = min_cosine - 1e-9
 
     # row → B replicas, one per tile pair it participates in; its own

@@ -223,6 +223,13 @@ def test_tile_count_bounds_tile_memory():
     assert _tile_count(0, 8192) == 1
     # at 1M×768-d float64, 123 blocks → ≤ ~2*8192*768*8B ≈ 100 MB per
     # kernel group — executor-safe regardless of corpus size
+    # parallelism floor: a small corpus must still fan out enough
+    # tile-pair groups to keep the cluster busy (B(B+1)/2 >= P)...
+    assert _tile_count(10_000, 8192, min_parallelism=32) == 8
+    # ...but the memory bound wins when it is already larger
+    assert _tile_count(1_000_000, 8192, min_parallelism=32) == 123
+    # and B never exceeds the row count (one-row tiles at minimum)
+    assert _tile_count(5, 8192, min_parallelism=32) == 5
 
 
 def test_exact_cosine_pairs_small_tiles_identical(spark):
