@@ -266,17 +266,22 @@ class GrokParser:
         except re.error:
             return True
         rx = self.regex
-        i, in_class = 0, False
+        i, in_class, class_start = 0, False, -1
         while i < len(rx):
             c = rx[i]
             if c == "\\":
                 i += 2
                 continue
             if in_class:
-                if c == "]":
+                # ']' first in the class (or after '^') is a literal —
+                # same rule as _count_captures
+                first = i == class_start or (
+                    i == class_start + 1 and rx[class_start] == "^")
+                if c == "]" and not first:
                     in_class = False
             elif c == "[":
                 in_class = True
+                class_start = i + 1
             elif c == "|":
                 return True
             elif c == ")" and i + 1 < len(rx) and rx[i + 1] in "?*{":
