@@ -185,7 +185,11 @@ def minhash_lsh_candidates(
     rows_per_band = num_hashes // bands
     # Shingle hashing stays JVM-side (split + xxhash64); the signature is
     # the CPU hot spot and runs as a numpy-vectorized Arrow UDF. Spread
-    # across all cores even when the input is one small file.
+    # across all cores even when the input is one small file. The verify
+    # branch below reuses the SAME spread lineage deliberately: skipping
+    # its exchange was measured ~70% SLOWER at sf0.1 (shingling then runs
+    # in the source's 1-2 file-partitions instead of 32 tasks) — the
+    # exchange buys parallelism, not waste.
     spread = df.select(
         F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
     ).repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
