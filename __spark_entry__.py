@@ -722,6 +722,53 @@ def _q_embedding_near_dups_scalable(spark, sf_dir):
     )
 
 
+def _jpeg_solid_spec(i: int) -> tuple[int, int, int]:
+    """(width, height, gray value) for solid-JPEG driver row i."""
+    import hashlib as _h
+
+    d = _h.sha256(f"jpeg:{i}".encode()).digest()
+    return 8 + d[0] % 40, 8 + d[1] % 40, d[2]
+
+
+def _q_jpeg_solid(spark, sf_dir):
+    # real baseline-JPEG decode through the driver gate. Solid grayscale
+    # JPEGs reconstruct EXACTLY (DC quantizer 3 at q90 → error ≤ 3/16
+    # < 1/2 before the final integer round), so the expected pixel value
+    # is ANALYTIC — the oracle contains no codec code at all; a huffman/
+    # bit-reader/IDCT bug cannot cancel out.
+    import numpy as np
+    import pandas as pd
+
+    from logstash_integration_jdbc_spark.functions.jpeg import encode_jpeg
+    from logstash_integration_jdbc_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_image_features,
+    )
+
+    _pin(spark)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                w, h, c = _jpeg_solid_spec(int(i))
+                rows.append({
+                    "media_id": int(i), "kind": "image",
+                    "payload": encode_jpeg(np.full((h, w), c, dtype=np.uint8),
+                                           quality=90),
+                    "meta": {"width": w, "height": h, "sample_rate": 0,
+                             "n_frames": 0, "mime": "image/jpeg"},
+                })
+            yield pd.DataFrame(rows)
+
+    media = spark.range(200).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    feats = extract_image_features(media, dim=4)
+    return feats.select(
+        "media_id", "width", "height",
+        F.round(F.element_at("features", 1) * F.lit(255.0)).cast("int").alias("pixel_value"),
+    )
+
+
 def _q_media_stats(spark, sf_dir):
     # generated binary media table (no testdata media exists); the oracle
     # is the expected aggregate computed independently in pure Python
@@ -937,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": _q_frame_sample,
         "multimodal_resize": _q_resize,
         "multimodal_png_resize": _q_png_resize,
+        "multimodal_jpeg_solid": _q_jpeg_solid,
         "streaming_counts": _q_streaming_counts,
         "transcript_pipeline": _q_transcript_pipeline,
     }
@@ -1683,5 +1731,16 @@ def oracle_sql() -> dict[str, str]:
     pvals = ", ".join(f"(CAST({m} AS BIGINT), {pw}, {ph}, '{d}')" for m, d in prows)
     q["multimodal_png_resize"] = (
         f"SELECT * FROM (VALUES {pvals}) t(media_id, width, height, payload_md5)"
+    )
+    # JPEG solid-gray decode: the expected pixel value is analytic (the
+    # encoded constant) — zero codec code on the oracle side.
+    jvals = ", ".join(
+        "(CAST({m} AS BIGINT), {w}, {h}, {c})".format(
+            m=i, w=_jpeg_solid_spec(i)[0], h=_jpeg_solid_spec(i)[1],
+            c=_jpeg_solid_spec(i)[2])
+        for i in range(200)
+    )
+    q["multimodal_jpeg_solid"] = (
+        f"SELECT * FROM (VALUES {jvals}) t(media_id, width, height, pixel_value)"
     )
     return q

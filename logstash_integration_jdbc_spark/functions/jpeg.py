@@ -1,0 +1,520 @@
+"""Pure-stdlib baseline JPEG codec (decode + test-grade encoder).
+
+Real format, real decoder, no Pillow: a marker-walking parser, huffman
+entropy decoding with byte-stuffing and restart markers, dequantization,
+numpy matrix IDCT, chroma upsampling, and JFIF YCbCr→RGB. Scope is
+baseline sequential DCT (SOF0), 8-bit, 1 component (grayscale) or 3
+components (YCbCr) with sampling factors 1 or 2 — i.e. the shape the
+overwhelming majority of real-world JPEGs use. Progressive (SOF2),
+12-bit, arithmetic coding, and CMYK raise ``NotImplementedError`` naming
+Pillow, matching the multimodal kernels' contract.
+
+The encoder exists so tests can build REAL JPEG bytes without any
+library: 4:4:4 baseline with the JPEG Annex K example quantization and
+huffman tables (public spec constants). It is not tuned for size or
+speed — the decoder is the product; the encoder is the fixture factory.
+
+All heavy loops are per-8×8-block numpy; entropy decoding is a Python
+bit-reader (inherently sequential). A production deployment swaps
+Pillow/libjpeg-turbo into the same mapInPandas contract for throughput;
+this codec makes the *semantics* real and testable in a
+stdlib-only container.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zig-zag scan order: index i of the scan → (row, col) flattened offset
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K.1/K.2 example quantization tables (luminance, chrominance)
+QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K.3 example huffman tables: (bits[1..16], huffval[])
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix C: dct = C @ block @ C.T."""
+    k = np.arange(8)[:, None]
+    n = np.arange(8)[None, :]
+    c = np.cos((2 * n + 1) * k * np.pi / 16) * np.sqrt(2.0 / 8)
+    c[0, :] = np.sqrt(1.0 / 8)
+    return c
+
+
+_C = _dct_matrix()
+
+
+def _huff_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(code_length, code) → symbol, per the canonical JPEG assignment."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code_length, code); inverse of the decode table."""
+    return {v: k for k, v in _huff_decode_table(bits, vals).items()}
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    byte-unstuffing; restart markers are handled by the caller (the
+    scan splits on them before reading)."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        while True:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy data exhausted")
+            byte = self.data[self.pos]
+            if byte == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
+                if nxt == 0x00:
+                    pass  # stuffed 0xFF — consume normally, skip the 0x00 below
+                else:
+                    raise ValueError("unexpected marker in entropy data")
+            b = (byte >> (7 - self.bit)) & 1
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+                if byte == 0xFF:
+                    self.pos += 1  # skip the stuffed 0x00
+            return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid huffman code in JPEG stream")
+
+
+def _extend(v: int, t: int) -> int:
+    """JPEG EXTEND: map t-bit magnitude to signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def parse_jpeg(payload: bytes):
+    """Decode a baseline JFIF/EXIF JPEG → (width, height, RGB (h, w, 3)).
+
+    Grayscale expands to RGB. Raises ``NotImplementedError`` (naming
+    Pillow) for progressive/12-bit/arithmetic/CMYK inputs and
+    ``ValueError`` for corrupt streams.
+    """
+    if payload[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    scan = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        body = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables need Pillow")
+                qt[tq] = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8).astype(np.int64)
+                i += 65
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline(+ext sequential)
+            prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG needs Pillow")
+            if nc not in (1, 3):
+                raise NotImplementedError(f"{nc}-component JPEG (CMYK?) needs Pillow")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                hi, vi = hv >> 4, hv & 0xF
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise NotImplementedError("sampling factors >2 need Pillow")
+                comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "progressive/hierarchical/arithmetic JPEG needs Pillow")
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                (huff_dc if tc == 0 else huff_ac)[th] = _huff_decode_table(bits, vals)
+                i += 17 + nv
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            sel = {}
+            for c in range(ns):
+                cs, tt = body[1 + 2 * c], body[2 + 2 * c]
+                sel[cs] = (tt >> 4, tt & 0xF)
+            data_start = pos + seglen
+            # entropy data runs to the next non-RST marker
+            end = data_start
+            while end < len(payload) - 1:
+                if payload[end] == 0xFF and payload[end + 1] not in (0x00,) and not (
+                    0xD0 <= payload[end + 1] <= 0xD7
+                ):
+                    break
+                end += 1
+            scan = (sel, payload[data_start:end])
+            pos = end
+            continue
+        pos += seglen
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    sel, data = scan
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = -(-frame["w"] // mcu_w)
+    mcus_y = -(-frame["h"] // mcu_h)
+
+    planes = [
+        np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
+        for c in comps
+    ]
+    # split on restart markers; each segment resets DC predictors
+    segments = []
+    if restart_interval:
+        seg, i = bytearray(), 0
+        while i < len(data):
+            if data[i] == 0xFF and i + 1 < len(data) and 0xD0 <= data[i + 1] <= 0xD7:
+                segments.append(bytes(seg))
+                seg = bytearray()
+                i += 2
+                continue
+            seg.append(data[i])
+            i += 1
+        segments.append(bytes(seg))
+    else:
+        segments = [data]
+
+    mcu_index = 0
+    total_mcus = mcus_x * mcus_y
+    for seg in segments:
+        reader = _BitReader(seg)
+        pred = [0] * len(comps)
+        limit = (mcu_index + restart_interval) if restart_interval else total_mcus
+        while mcu_index < min(limit, total_mcus):
+            my, mx = divmod(mcu_index, mcus_x)
+            for ci, comp in enumerate(comps):
+                dct_t, act_t = sel[comp["id"]]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        t = reader.read_symbol(huff_dc[dct_t])
+                        diff = _extend(reader.read_bits(t), t)
+                        pred[ci] += diff
+                        coef = np.zeros(64, dtype=np.int64)
+                        coef[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.read_symbol(huff_ac[act_t])
+                            r, s = rs >> 4, rs & 0xF
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            coef[k] = _extend(reader.read_bits(s), s)
+                            k += 1
+                        dq = coef * qt[comp["tq"]]
+                        block = np.zeros(64, dtype=np.float64)
+                        block[ZIGZAG] = dq
+                        px = _C.T @ block.reshape(8, 8) @ _C + 128.0
+                        y0 = (my * comp["v"] + by) * 8
+                        x0 = (mx * comp["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+            mcu_index += 1
+
+    w, h = frame["w"], frame["h"]
+    out_planes = []
+    for ci, comp in enumerate(comps):
+        p = planes[ci]
+        ry, rx = vmax // comp["v"], hmax // comp["h"]
+        if ry > 1 or rx > 1:  # nearest-neighbor chroma upsample
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        # round BEFORE the uint8 cast — astype truncates (21.999 → 21)
+        y = np.clip(np.round(out_planes[0]), 0, 255)
+        return w, h, np.repeat(y[:, :, None], 3, axis=2).astype(np.uint8)
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return w, h, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# encoder (test-fixture factory: baseline 4:4:4, Annex K tables)
+# ---------------------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> None:
+        if self.nbits:
+            self.acc <<= 8 - self.nbits
+            self.acc |= (1 << (8 - self.nbits)) - 1  # pad with 1s
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+
+
+def _quality_scale(q: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(max(quality, 1), 100)
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((q * s + 50) // 100, 1, 255)
+
+
+def _encode_block(bw: _BitWriter, coef_zz: np.ndarray, pred: int,
+                  dc_tab: dict, ac_tab: dict) -> int:
+    def magnitude(v: int) -> int:
+        return 0 if v == 0 else int(abs(v)).bit_length()
+
+    dc = int(coef_zz[0])
+    diff = dc - pred
+    t = magnitude(diff)
+    ln, code = dc_tab[t]
+    bw.write(code, ln)
+    if t:
+        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = int(np.max(np.nonzero(coef_zz)[0])) if np.any(coef_zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(coef_zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = ac_tab[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s = magnitude(v)
+        ln, code = ac_tab[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+        if k == last_nz:
+            break
+    if last_nz < 63:
+        ln, code = ac_tab[0x00]
+        bw.write(code, ln)
+    return dc
+
+
+def encode_jpeg(px, quality: int = 90, restart_interval: int = 0) -> bytes:
+    """Minimal valid baseline JFIF from an (h, w, 3) RGB array (4:4:4)
+    or an (h, w) grayscale array (single component). With
+    ``restart_interval`` > 0, emits DRI + RSTn markers every that many
+    MCUs (predictors reset, writer byte-aligned) — exercising the
+    decoder's restart path with spec-true streams."""
+    px = np.ascontiguousarray(px, dtype=np.float64)
+    gray = px.ndim == 2
+    if not gray and px.shape[2] != 3:
+        raise ValueError("encode_jpeg expects (h, w, 3) RGB or (h, w) gray")
+    h, w = px.shape[:2]
+    qy = _quality_scale(QT_LUMA, quality)
+    qc = _quality_scale(QT_CHROMA, quality)
+    dc_l = _huff_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_l = _huff_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c = _huff_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c = _huff_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+
+    def pad(p):
+        return np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+
+    if gray:
+        planes = [(pad(px), qy, dc_l, ac_l)]
+    else:
+        r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [(pad(y), qy, dc_l, ac_l), (pad(cb), qc, dc_c, ac_c),
+                  (pad(cr), qc, dc_c, ac_c)]
+
+    entropy = bytearray()
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    mcu_index = 0
+    rst = 0
+    for my in range(ph // 8):
+        for mx in range(pw // 8):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                bw.flush()
+                entropy += bw.out + bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                bw = _BitWriter()
+                preds = [0] * len(planes)
+            for ci, (plane, qtab, dct, act) in enumerate(planes):
+                blk = plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] - 128.0
+                coefs = _C @ blk @ _C.T
+                # zz[i] = coefficient at natural position ZIGZAG[i];
+                # quantize with the table value at the same position
+                zz = coefs.reshape(-1)[ZIGZAG]
+                qcoef = np.round(zz / qtab[ZIGZAG]).astype(np.int64)
+                preds[ci] = _encode_block(bw, qcoef, preds[ci], dct, act)
+            mcu_index += 1
+    bw.flush()
+    entropy += bw.out
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    out = bytearray(b"\xFF\xD8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    # quant tables are emitted in zigzag order per spec
+    out += seg(0xDB, bytes([0]) + bytes(int(v) for v in qy[ZIGZAG]))
+    if not gray:
+        out += seg(0xDB, bytes([1]) + bytes(int(v) for v in qc[ZIGZAG]))
+    if gray:
+        out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    else:
+        out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 3)
+                   + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    out += dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    if not gray:
+        out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        out += dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    if gray:
+        out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    else:
+        out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += entropy
+    out += b"\xFF\xD9"
+    return bytes(out)

@@ -6,10 +6,12 @@ Arrow-batched ``mapInPandas`` stages. The container ships no image/audio
 libraries, so the REAL kernels are pure-stdlib decoders of real public
 formats:
 
-- image: binary PPM (P6) — header parse + pixel-stat features — and
-  8-bit PNG (gray/RGB/RGBA, non-interlaced): zlib-inflated IDAT with
-  full scanline-filter reconstruction, plus a minimal PNG encoder for
-  the resize path;
+- image: binary PPM (P6) — header parse + pixel-stat features; 8-bit
+  PNG (gray/RGB/RGBA, non-interlaced): zlib-inflated IDAT with full
+  scanline-filter reconstruction, plus a minimal PNG encoder for the
+  resize path; and baseline JPEG (SOF0, gray/YCbCr, restart markers,
+  sampling factors ≤2) via the pure-stdlib huffman+IDCT codec in
+  ``functions/jpeg.py``;
 - audio: RIFF/WAVE PCM16 — chunk-walked fmt/data parse + RMS/duration;
 - video: a length-delimited container of concatenated PPM frames
   (synthetic but genuinely parsed; a real deployment swaps in
@@ -18,8 +20,9 @@ formats:
 ``gen_media`` emits valid payloads in exactly these formats, so the
 default (non-fake) path decodes real bytes end-to-end. ``fake=True``
 keeps the hash-derived stand-in kernels for plumbing tests and for
-payload formats the stdlib can't decode (JPEG/MP4 and exotic PNGs
-raise ``NotImplementedError`` naming the library to plug in).
+payload formats the stdlib can't decode (MP4, progressive/12-bit
+JPEG, and exotic PNGs raise ``NotImplementedError`` naming the
+library to plug in).
 
 Scale notes: binary payloads dominate row size, so all plumbing
 repartitions by a size-aware key before the Python stage (Arrow batches
@@ -336,6 +339,20 @@ def _png_features(payload: bytes, dim: int) -> tuple[int, int, list[float]]:
     return w, h, [float(b.mean() / 255.0) if len(b) else 0.0 for b in buckets]
 
 
+def _jpeg_features(payload: bytes, dim: int) -> tuple[int, int, list[float]]:
+    """Bucket-mean features over the baseline-JPEG-decoded RGB stream."""
+    import numpy as np
+
+    from logstash_integration_jdbc_spark.functions.jpeg import parse_jpeg
+
+    w, h, px = parse_jpeg(payload)
+    flat = px.reshape(-1).astype(np.float64)
+    if len(flat) == 0:
+        return w, h, [0.0] * dim
+    buckets = np.array_split(flat, dim)
+    return w, h, [float(b.mean() / 255.0) if len(b) else 0.0 for b in buckets]
+
+
 def extract_image_features(df: DataFrame, dim: int = 32, fake: bool = False) -> DataFrame:
     """Decode + featurize image payloads via mapInPandas (Arrow batches).
 
@@ -357,10 +374,13 @@ def extract_image_features(df: DataFrame, dim: int = 32, fake: bool = False) -> 
                     w, h, feats = _ppm_features(bytes(payload), dim)
                 elif bytes(payload[:8]) == _PNG_SIG:
                     w, h, feats = _png_features(bytes(payload), dim)
+                elif bytes(payload[:2]) == b"\xFF\xD8":
+                    w, h, feats = _jpeg_features(bytes(payload), dim)
                 else:
                     raise NotImplementedError(
                         f"image decode for {meta['mime']!r} requires Pillow/"
-                        "torchvision; P6 PPM and 8-bit PNG decode stdlib-side"
+                        "torchvision; P6 PPM, 8-bit PNG and baseline JPEG "
+                        "decode stdlib-side"
                     )
                 rows["media_id"].append(mid)
                 rows["width"].append(w)
@@ -490,22 +510,33 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
             rows = {"media_id": [], "width": [], "height": [], "payload": []}
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
                 b = bytes(payload)
-                is_png = b[:8] == _PNG_SIG
-                if is_png:
+                lossless_png_out = False
+                if b[:8] == _PNG_SIG:
                     w, h, px = parse_png(b)
+                    lossless_png_out = True
+                elif b[:2] == b"\xFF\xD8":
+                    from logstash_integration_jdbc_spark.functions.jpeg import (
+                        parse_jpeg,
+                    )
+
+                    # JPEG in → PNG out: past the (unavoidable) source
+                    # decode, the resize itself stays lossless — the
+                    # right default for training-data pipelines
+                    w, h, px = parse_jpeg(b)
+                    lossless_png_out = True
                 elif b[:2] == b"P6":
                     w, h, start, end = parse_ppm(b)
                     px = np.frombuffer(b[start:end], dtype=np.uint8).reshape(h, w, 3)
                 else:
                     raise NotImplementedError(
                         f"image resize for {meta['mime']!r} requires Pillow; "
-                        "P6 PPM and 8-bit PNG decode stdlib-side"
+                        "P6 PPM, 8-bit PNG and baseline JPEG decode stdlib-side"
                     )
                 rs = (np.arange(out_h, dtype=np.int64) * h) // out_h
                 cs = (np.arange(out_w, dtype=np.int64) * w) // out_w
                 out = px[rs][:, cs]
-                if is_png:
-                    payload_out = encode_png(out)  # PNG in → PNG out
+                if lossless_png_out:
+                    payload_out = encode_png(out)
                 else:
                     header = f"P6\n{out_w} {out_h}\n255\n".encode("ascii")
                     payload_out = header + out.tobytes()

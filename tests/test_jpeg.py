@@ -1,0 +1,157 @@
+"""Pure-stdlib baseline JPEG codec (functions/jpeg.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from logstash_integration_jdbc_spark.functions.jpeg import (
+    _extend,
+    _huff_decode_table,
+    _huff_encode_table,
+    encode_jpeg,
+    parse_jpeg,
+)
+
+
+def test_huffman_tables_are_canonical_and_invertible():
+    from logstash_integration_jdbc_spark.functions.jpeg import (
+        AC_LUMA_BITS,
+        AC_LUMA_VALS,
+        DC_LUMA_BITS,
+        DC_LUMA_VALS,
+    )
+
+    dec = _huff_decode_table(DC_LUMA_BITS, DC_LUMA_VALS)
+    enc = _huff_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
+    assert len(dec) == sum(DC_LUMA_BITS) == 12
+    for sym, (ln, code) in enc.items():
+        assert dec[(ln, code)] == sym
+    # canonical: codes are prefix-free (no code is a prefix of another)
+    codes = sorted((ln, code) for ln, code in dec)
+    for i, (l1, c1) in enumerate(codes):
+        for l2, c2 in codes[i + 1 :]:
+            assert not (l2 > l1 and (c2 >> (l2 - l1)) == c1)
+    assert len(_huff_decode_table(AC_LUMA_BITS, AC_LUMA_VALS)) == sum(AC_LUMA_BITS)
+
+
+def test_extend_matches_spec():
+    # F.2.2.1 EXTEND: t-bit value v < 2^(t-1) → v - 2^t + 1
+    assert _extend(0, 0) == 0
+    assert _extend(0b0, 1) == -1 and _extend(0b1, 1) == 1
+    assert _extend(0b00, 2) == -3 and _extend(0b11, 2) == 3
+    assert _extend(0b011, 3) == -4 and _extend(0b100, 3) == 4
+
+
+def test_solid_color_roundtrip_exact():
+    for val in (0, 17, 120, 255):
+        px = np.full((16, 24, 3), val, dtype=np.uint8)
+        w, h, got = parse_jpeg(encode_jpeg(px, quality=90))
+        assert (w, h) == (24, 16)
+        assert np.abs(got.astype(int) - int(val)).max() <= 1
+
+
+def test_smooth_gradient_high_quality_tight_error():
+    yy, xx = np.mgrid[0:33, 0:41]
+    px = np.stack([np.clip(yy * 4, 0, 255), np.full_like(yy, 80),
+                   np.clip(xx * 3, 0, 255)], axis=2).astype(np.uint8)
+    w, h, got = parse_jpeg(encode_jpeg(px, quality=95))
+    assert (w, h) == (41, 33)
+    diff = np.abs(got.astype(int) - px.astype(int))
+    assert diff.max() <= 3 and diff.mean() < 1.0
+
+
+def test_noise_bounded_error_q95():
+    px = np.random.RandomState(1).randint(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    _w, _h, got = parse_jpeg(encode_jpeg(px, quality=95))
+    diff = np.abs(got.astype(int) - px.astype(int))
+    # worst-case content for JPEG; q95 keeps it visually lossless-ish
+    assert diff.mean() < 8 and diff.max() < 48
+
+
+def test_grayscale_single_component():
+    g = np.clip(np.mgrid[0:20, 0:30][0] * 6, 0, 255).astype(np.uint8)
+    w, h, got = parse_jpeg(encode_jpeg(g, quality=95))
+    assert (w, h) == (30, 20) and got.shape == (20, 30, 3)
+    assert np.array_equal(got[:, :, 0], got[:, :, 1])
+    assert np.abs(got[:, :, 0].astype(int) - g.astype(int)).max() <= 2
+
+
+def test_restart_markers_decode_identically():
+    px = np.random.RandomState(2).randint(0, 256, size=(40, 48, 3), dtype=np.uint8)
+    plain = parse_jpeg(encode_jpeg(px, quality=95))[2]
+    with_rst = parse_jpeg(encode_jpeg(px, quality=95, restart_interval=3))[2]
+    assert np.array_equal(plain, with_rst)
+
+
+def test_non_multiple_of_8_dimensions():
+    px = np.random.RandomState(3).randint(0, 256, size=(13, 19, 3), dtype=np.uint8)
+    w, h, got = parse_jpeg(encode_jpeg(px, quality=90))
+    assert (w, h) == (19, 13) and got.shape == (13, 19, 3)
+
+
+def test_byte_stuffing_survives():
+    """A near-black image drives many 0xFF-heavy huffman runs; the
+    stuffed stream must decode (regression for FF00 handling)."""
+    px = np.zeros((32, 32, 3), dtype=np.uint8)
+    px[::2, ::2] = 255  # checkerboard → dense AC coefficients
+    _w, _h, got = parse_jpeg(encode_jpeg(px, quality=50))
+    assert got.shape == (32, 32, 3)
+
+
+def test_progressive_rejected_names_pillow():
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    blob = bytearray(encode_jpeg(px))
+    i = blob.find(b"\xFF\xC0")
+    blob[i + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        parse_jpeg(bytes(blob))
+
+
+def test_not_a_jpeg_rejected():
+    with pytest.raises(ValueError, match="SOI"):
+        parse_jpeg(b"\x89PNG\r\n\x1a\n")
+
+
+def test_spark_jpeg_features_and_resize(spark):
+    """Real JPEG bytes through the mapInPandas kernels end-to-end."""
+    from logstash_integration_jdbc_spark.functions.jpeg import parse_jpeg as _pj
+    from logstash_integration_jdbc_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_image_features,
+        parse_png,
+        resize_images,
+    )
+
+    rng = np.random.RandomState(5)
+    pxs = {i: np.clip(rng.randint(0, 64, size=(16 + i, 12 + i, 3))
+                      + np.mgrid[0 : 16 + i, 0 : 12 + i][0][:, :, None] * 8,
+                      0, 255).astype(np.uint8)
+           for i in range(3)}
+    rows = [
+        {"media_id": i, "kind": "image",
+         "payload": bytearray(encode_jpeg(pxs[i], quality=95)),
+         "meta": {"width": 12 + i, "height": 16 + i, "sample_rate": 0,
+                  "n_frames": 0, "mime": "image/jpeg"}}
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    feats = {r.media_id: r for r in extract_image_features(df, dim=8).collect()}
+    for i, px in pxs.items():
+        # expected features come from the DECODED pixels (JPEG is lossy)
+        decoded = _pj(bytes(encode_jpeg(px, quality=95)))[2]
+        flat = decoded.reshape(-1).astype(np.float64)
+        want = [float(b.mean() / 255.0) for b in np.array_split(flat, 8)]
+        got = feats[i]
+        assert (got.width, got.height) == (px.shape[1], px.shape[0])
+        assert np.allclose(got.features, want, atol=1e-6)
+
+    resized = {r.media_id: r for r in resize_images(df, 6, 9).collect()}
+    for i, px in pxs.items():
+        w, h, got = parse_png(bytes(resized[i].payload))  # JPEG in → PNG out
+        assert (w, h) == (6, 9)
+        decoded = _pj(bytes(encode_jpeg(px, quality=95)))[2]
+        rs = (np.arange(9, dtype=np.int64) * decoded.shape[0]) // 9
+        cs = (np.arange(6, dtype=np.int64) * decoded.shape[1]) // 6
+        assert np.array_equal(got, decoded[rs][:, cs])

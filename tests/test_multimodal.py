@@ -58,9 +58,10 @@ def test_image_features_real_ppm_decode(media):
 
 
 def test_image_decode_unsupported_mime_raises(spark):
+    # GIF is genuinely unsupported (JPEG/PNG/PPM now decode for real)
     df = spark.createDataFrame(
-        [(1, "image", bytearray(b"\xff\xd8\xff\xe0 fake jpeg"),
-          (4, 4, 0, 0, "image/jpeg"))],
+        [(1, "image", bytearray(b"GIF89a fake gif body"),
+          (4, 4, 0, 0, "image/gif"))],
         "media_id long, kind string, payload binary, "
         "meta struct<width:int,height:int,sample_rate:int,n_frames:int,mime:string>",
     )
@@ -176,14 +177,14 @@ def test_resize_unsupported_mime_raises(spark):
         resize_images,
     )
 
-    jpeg = spark.createDataFrame(
-        [Row(media_id=1, kind="image", payload=b"\xff\xd8\xff\xe0fakejpeg",
+    gif = spark.createDataFrame(
+        [Row(media_id=1, kind="image", payload=b"GIF89afakegif",
              meta=Row(width=4, height=4, sample_rate=0, n_frames=0,
-                      mime="image/jpeg"))],
+                      mime="image/gif"))],
         schema=MEDIA_SCHEMA,
     )
     with pytest.raises(Exception, match="Pillow"):
-        resize_images(jpeg, out_w=2, out_h=2).collect()
+        resize_images(gif, out_w=2, out_h=2).collect()
 
 
 class TestPngCodec:
