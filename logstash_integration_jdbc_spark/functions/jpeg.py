@@ -429,9 +429,12 @@ def _encode_block(bw: _BitWriter, coef_zz: np.ndarray, pred: int,
     return dc
 
 
-def encode_jpeg(px, quality: int = 90, restart_interval: int = 0) -> bytes:
-    """Minimal valid baseline JFIF from an (h, w, 3) RGB array (4:4:4)
-    or an (h, w) grayscale array (single component). With
+def encode_jpeg(px, quality: int = 90, restart_interval: int = 0,
+                subsample: bool = False) -> bytes:
+    """Minimal valid baseline JFIF from an (h, w, 3) RGB array (4:4:4,
+    or 4:2:0 with ``subsample=True`` — the dominant real-world layout:
+    16×16 MCUs of four Y blocks + one averaged-2×2 Cb + Cr block) or an
+    (h, w) grayscale array (single component). With
     ``restart_interval`` > 0, emits DRI + RSTn markers every that many
     MCUs (predictors reset, writer byte-aligned) — exercising the
     decoder's restart path with spec-true streams."""
@@ -439,6 +442,8 @@ def encode_jpeg(px, quality: int = 90, restart_interval: int = 0) -> bytes:
     gray = px.ndim == 2
     if not gray and px.shape[2] != 3:
         raise ValueError("encode_jpeg expects (h, w, 3) RGB or (h, w) gray")
+    if gray and subsample:
+        raise ValueError("subsample only applies to color input")
     h, w = px.shape[:2]
     qy = _quality_scale(QT_LUMA, quality)
     qc = _quality_scale(QT_CHROMA, quality)
@@ -447,42 +452,65 @@ def encode_jpeg(px, quality: int = 90, restart_interval: int = 0) -> bytes:
     dc_c = _huff_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)
     ac_c = _huff_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS)
 
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    # pad to whole MCUs: 8 px (4:4:4 / gray) or 16 px (4:2:0)
+    unit = 16 if subsample else 8
+    ph, pw = -(-h // unit) * unit, -(-w // unit) * unit
 
     def pad(p):
         return np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
 
     if gray:
-        planes = [(pad(px), qy, dc_l, ac_l)]
+        comps = [{"plane": pad(px), "q": qy, "dc": dc_l, "ac": ac_l,
+                  "h": 1, "v": 1}]
     else:
         r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        planes = [(pad(y), qy, dc_l, ac_l), (pad(cb), qc, dc_c, ac_c),
-                  (pad(cr), qc, dc_c, ac_c)]
+        if subsample:
+            y_p, cb_p, cr_p = pad(y), pad(cb), pad(cr)
+            # 2×2 box average for the chroma planes
+            cb_p = cb_p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr_p = cr_p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            comps = [
+                {"plane": y_p, "q": qy, "dc": dc_l, "ac": ac_l, "h": 2, "v": 2},
+                {"plane": cb_p, "q": qc, "dc": dc_c, "ac": ac_c, "h": 1, "v": 1},
+                {"plane": cr_p, "q": qc, "dc": dc_c, "ac": ac_c, "h": 1, "v": 1},
+            ]
+        else:
+            comps = [
+                {"plane": pad(y), "q": qy, "dc": dc_l, "ac": ac_l, "h": 1, "v": 1},
+                {"plane": pad(cb), "q": qc, "dc": dc_c, "ac": ac_c, "h": 1, "v": 1},
+                {"plane": pad(cr), "q": qc, "dc": dc_c, "ac": ac_c, "h": 1, "v": 1},
+            ]
 
     entropy = bytearray()
     bw = _BitWriter()
-    preds = [0] * len(planes)
+    preds = [0] * len(comps)
     mcu_index = 0
     rst = 0
-    for my in range(ph // 8):
-        for mx in range(pw // 8):
+    mcus_y, mcus_x = ph // unit, pw // unit
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             if restart_interval and mcu_index and mcu_index % restart_interval == 0:
                 bw.flush()
                 entropy += bw.out + bytes([0xFF, 0xD0 + rst])
                 rst = (rst + 1) % 8
                 bw = _BitWriter()
-                preds = [0] * len(planes)
-            for ci, (plane, qtab, dct, act) in enumerate(planes):
-                blk = plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] - 128.0
-                coefs = _C @ blk @ _C.T
-                # zz[i] = coefficient at natural position ZIGZAG[i];
-                # quantize with the table value at the same position
-                zz = coefs.reshape(-1)[ZIGZAG]
-                qcoef = np.round(zz / qtab[ZIGZAG]).astype(np.int64)
-                preds[ci] = _encode_block(bw, qcoef, preds[ci], dct, act)
+                preds = [0] * len(comps)
+            for ci, comp in enumerate(comps):
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        y0 = (my * comp["v"] + by) * 8
+                        x0 = (mx * comp["h"] + bx) * 8
+                        blk = comp["plane"][y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        coefs = _C @ blk @ _C.T
+                        # zz[i] = coefficient at natural position
+                        # ZIGZAG[i]; quantize with the table value there
+                        zz = coefs.reshape(-1)[ZIGZAG]
+                        qcoef = np.round(zz / comp["q"][ZIGZAG]).astype(np.int64)
+                        preds[ci] = _encode_block(bw, qcoef, preds[ci],
+                                                  comp["dc"], comp["ac"])
             mcu_index += 1
     bw.flush()
     entropy += bw.out
@@ -502,8 +530,9 @@ def encode_jpeg(px, quality: int = 90, restart_interval: int = 0) -> bytes:
     if gray:
         out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
     else:
+        y_hv = 0x22 if subsample else 0x11
         out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 3)
-                   + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
+                   + bytes([1, y_hv, 0, 2, 0x11, 1, 3, 0x11, 1]))
     out += dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
     out += dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
     if not gray:

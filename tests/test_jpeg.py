@@ -155,3 +155,32 @@ def test_spark_jpeg_features_and_resize(spark):
         rs = (np.arange(9, dtype=np.int64) * decoded.shape[0]) // 9
         cs = (np.arange(6, dtype=np.int64) * decoded.shape[1]) // 6
         assert np.array_equal(got, decoded[rs][:, cs])
+
+
+def test_420_subsampled_roundtrip():
+    """4:2:0 (the dominant real-world layout) exercises multi-block MCUs
+    and the decoder's chroma upsampling path."""
+    yy, xx = np.mgrid[0:35, 0:45]
+    px = np.stack([np.clip(yy * 5, 0, 255), np.full_like(yy, 100),
+                   np.clip(xx * 4, 0, 255)], axis=2).astype(np.uint8)
+    w, h, got = parse_jpeg(encode_jpeg(px, quality=95, subsample=True))
+    assert (w, h) == (45, 35) and got.shape == (35, 45, 3)
+    diff = np.abs(got.astype(int) - px.astype(int))
+    # luma stays tight; chroma averaging adds bounded error on gradients
+    assert diff[:, :, 1].mean() < 2.5 and diff.mean() < 6 and diff.max() < 40
+
+
+def test_420_solid_color_exact():
+    for rgbc in ((200, 60, 60), (30, 180, 90)):
+        px = np.zeros((32, 32, 3), dtype=np.uint8)
+        px[:, :] = rgbc
+        _w, _h, got = parse_jpeg(encode_jpeg(px, quality=95, subsample=True))
+        assert np.abs(got.astype(int) - np.array(rgbc)).max() <= 2
+
+
+def test_420_with_restart_markers():
+    px = np.random.RandomState(4).randint(0, 256, size=(48, 64, 3), dtype=np.uint8)
+    plain = parse_jpeg(encode_jpeg(px, quality=90, subsample=True))[2]
+    rst = parse_jpeg(encode_jpeg(px, quality=90, subsample=True,
+                                 restart_interval=2))[2]
+    assert np.array_equal(plain, rst)
