@@ -514,14 +514,24 @@ def main_scaling_local() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
     use_pin = _sh.which("taskset")
 
+    n_cpus = os.cpu_count() or 32
+
     def run_one(cores: int, mem: str) -> dict:
         best = None
-        for _ in range(reps):
+        for rep in range(reps):
             os.sync()
             cmd = [sys.executable, os.path.abspath(__file__),
                    "--local-app", str(cores), str(n_rows), mem]
             if use_pin:
-                cmd = ["taskset", "-c", f"0-{2 * cores - 1}"] + cmd
+                # rotate the pinned window per rep: per-vCPU speed varies
+                # ±25% on this host, and a fixed window makes every rep
+                # captive to the same (possibly slow) vCPUs — the cluster
+                # mode is robust to this via dynamic task scheduling
+                # across worker windows; here best-of-k over rotated
+                # windows plays the same role
+                width = 2 * cores
+                lo = (rep * width) % max(n_cpus - width + 1, 1)
+                cmd = ["taskset", "-c", f"{lo}-{lo + width - 1}"] + cmd
             out = subprocess.run(cmd, capture_output=True, text=True,
                                  cwd=here, timeout=3600)
             line = [ln for ln in out.stdout.strip().splitlines()
