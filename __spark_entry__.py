@@ -560,6 +560,32 @@ def _q_dedup_exact_keep(spark, sf_dir):
     return exact_dedup(both).select("doc_id", "lang", "source")
 
 
+def _q_dedup_exact_norm(spark, sf_dir):
+    # near-exact dedup on the canonical form (lowercase, punctuation
+    # stripped, whitespace collapsed) — catches trivially-reformatted
+    # copies plain sha2 dedup misses; the oracle recomputes the
+    # normalization + min-id representative in SQL.
+    from logstash_integration_jdbc_spark.operators.dedup import exact_dedup_normalized
+
+    docs = _t(spark, sf_dir, "documents")
+    shout = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit("!!")).alias("text"),
+        "lang", "source",
+    )
+    both = docs.select("doc_id", "text", "lang", "source").unionByName(shout)
+    return exact_dedup_normalized(both).select("doc_id")
+
+
+def _q_text_repetition(spark, sf_dir):
+    # within-document duplicate-bigram ratio (boilerplate/looping-text
+    # quality signal); oracle recomputes distinct/total bigrams in SQL.
+    from logstash_integration_jdbc_spark.operators.textstats import repetition_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_ratio(docs, n=2).select("doc_id", "rep_ratio")
+
+
 def _q_dedup_minhash(spark, sf_dir):
     # 64 hashes / 16 bands (r=4): for the ≥0.9-jaccard near-dup pairs the
     # corpus contains, miss probability is (1-0.9^4)^16 ≈ 4e-8 — exact vs
@@ -975,6 +1001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_quality,
         "text_langid": _q_langid,
         "text_fingerprint": _q_fingerprint,
+        "text_repetition": _q_text_repetition,
+        "dedup_exact_norm": _q_dedup_exact_norm,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -1376,6 +1404,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text, lang, source FROM documents
             UNION ALL SELECT doc_id + 1000000, text, lang, source FROM documents
         ) QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
+    """
+    # normalized near-exact dedup: same representative rule over the
+    # canonical form (lower, strip punct, collapse whitespace)
+    q["dedup_exact_norm"] = r"""
+        SELECT doc_id FROM (
+            SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 1000000, upper(text) || '!!' FROM documents
+        ) QUALIFY doc_id = min(doc_id) OVER (PARTITION BY
+            trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+                                '\s+', ' ', 'g')))
+    """
+    # within-doc duplicate-bigram ratio
+    q["text_repetition"] = r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN []
+                        ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                   END AS w
+            FROM documents
+        )
+        SELECT doc_id,
+               round(CASE WHEN len(w) >= 2 THEN
+                   1.0 - len(list_distinct(list_transform(range(1, len(w)),
+                               i -> w[i] || ' ' || w[i + 1]))) * 1.0 / (len(w) - 1)
+                   ELSE 0.0 END, 6) AS rep_ratio
+        FROM tok
     """
     # pipeline oracles: SQL reimplementation of parse→enrich→route over
     # the written copy of the deterministic generated input (RE2 regex ≡

@@ -69,6 +69,30 @@ def dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
+def normalize_text_expr(text: Column) -> Column:
+    """Canonical form for near-exact dedup: lowercase, strip punctuation,
+    collapse whitespace runs. Catches the trivially-reformatted copies
+    (case, smart spacing, trailing punctuation) that exact sha2 dedup
+    misses while staying a deterministic map-side expression."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[^\w\s]", "")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def exact_dedup_normalized(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", keep: str = "min") -> DataFrame:
+    """Keep one representative per NORMALIZED-text group.
+
+    Same digest-grouped plan as ``exact_dedup`` (shuffles 32-byte
+    sha2 digests, never text) over ``normalize_text_expr``.
+    """
+    h = F.sha2(normalize_text_expr(F.col(text_col)), 256).alias("__h")
+    agg = F.min if keep == "min" else F.max
+    reps = df.select(h, F.col(id_col)).groupBy("__h").agg(agg(id_col).alias(id_col))
+    return df.join(reps.select(id_col), id_col, "left_semi")
+
+
 # -- shingling ------------------------------------------------------------
 
 def shingle_hashes(text_col: Column, n: int = 3) -> Column:

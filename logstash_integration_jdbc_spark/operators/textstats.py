@@ -123,3 +123,26 @@ def fingerprint(df: DataFrame, text_col: str = "text",
         lambda acc, t: acc * F.lit(1099511628211) + F.xxhash64(t),
     )
     return df.withColumn(out_col, fp)
+
+
+def repetition_ratio(df: DataFrame, text_col: str = "text", n: int = 2,
+                     out_col: str = "rep_ratio") -> DataFrame:
+    """Within-document duplicate-n-gram ratio (quality signal).
+
+    rep_ratio = 1 - distinct(n-grams)/total(n-grams) over whitespace
+    tokens; 0 for documents with < n tokens. High values flag the
+    boilerplate/looping text that dominates low-quality web and
+    model-generated corpora (the duplicate-line/-n-gram family of
+    Gopher/RefinedWeb filters). Pure expressions, map-only.
+    """
+    toks = tokens_expr(F.col(text_col))
+    k = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    ratio = F.when(
+        k > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)) / k.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return df.withColumn(out_col, F.round(ratio, 6))

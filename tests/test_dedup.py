@@ -254,3 +254,20 @@ def test_exact_cosine_pairs_small_tiles_identical(spark):
              exact_cosine_pairs(both, min_cosine=0.95,
                                 target_tile_rows=40).collect()}
     assert tiled == base and base
+
+
+def test_exact_dedup_normalized_collapses_reformatted_copies(spark):
+    from logstash_integration_jdbc_spark.operators.dedup import (
+        exact_dedup,
+        exact_dedup_normalized,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "HELLO WORLD."),
+         (4, "goodbye world"), (5, "hello worlds")],
+        "doc_id long, text string",
+    )
+    plain = {r.doc_id for r in exact_dedup(df).collect()}
+    norm = {r.doc_id for r in exact_dedup_normalized(df).collect()}
+    assert plain == {1, 2, 3, 4, 5}   # byte-distinct → sha2 keeps all
+    assert norm == {1, 4, 5}          # 1≡2≡3 under normalization, min id wins

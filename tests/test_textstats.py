@@ -77,3 +77,18 @@ def test_fingerprint_normalizes_whitespace(spark):
     )
     fps = {r.id: r.fingerprint for r in fingerprint(df).collect()}
     assert fps[1] == fps[2]
+
+
+def test_repetition_ratio_values(spark):
+    from logstash_integration_jdbc_spark.operators.textstats import repetition_ratio
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "x"), (4, ""), (5, "go go go stop go go")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.rep_ratio for r in repetition_ratio(df, n=2).collect()}
+    assert abs(got[1] - (1 - 1 / 3)) < 1e-6      # bigrams: aa aa aa → 1 distinct of 3
+    assert got[2] == 0.0                          # all bigrams distinct
+    assert got[3] == 0.0 and got[4] == 0.0        # < n tokens
+    # "go go","go stop","stop go","go go" → 3 distinct of 5 bigrams
+    assert abs(got[5] - (1 - 3 / 5)) < 1e-6
