@@ -112,6 +112,12 @@ GROK_PATTERNS: dict[str, str] = {
 # %{NAME}, %{NAME:field} or %{NAME:field:type} (grok inline type)
 _GROK_REF = re.compile(r"%\{(\w+)(?::([\w\[\]@.]+))?(?::(\w+))?\}")
 
+# Oniguruma-style inline named capture in a literal segment —
+# ``(?<queue_id>[0-9A-F]+)`` (logstash grok's documented alternative to
+# defining a custom pattern); Python's ``(?P<name>`` spelling accepted
+# too. Deliberately excludes lookbehind ``(?<=`` / ``(?<!``.
+_NAMED_GROUP = re.compile(r"\(\?P?<([A-Za-z_][A-Za-z0-9_\[\]@.]*)>")
+
 _INLINE_TYPES = {"int": "int", "long": "bigint", "float": "double", "double": "double"}
 
 # NOTE on single-pass extraction: an anchored-regexp_replace trick
@@ -166,7 +172,12 @@ def compile_grok(pattern: str, registry: dict[str, str] | None = None
     references without a field become non-capturing groups; nested named
     captures inside base patterns (e.g. SYSLOGPROG's ``pid``) are
     resolved to their absolute group index. Literal segments pass through
-    as regex, matching grok semantics.
+    as regex, matching grok semantics — including Oniguruma-style inline
+    named captures ``(?<name>...)`` (the grok filter's documented
+    alternative to a custom pattern): the name is registered as a field
+    at its absolute group index and the group is rewritten to a PLAIN
+    capturing group in the emitted regex, so the output stays valid for
+    Java, Python ``re``, and RE2 alike.
     """
     reg = registry if registry is not None else GROK_PATTERNS
     parts: list[str] = []
@@ -175,9 +186,47 @@ def compile_grok(pattern: str, registry: dict[str, str] | None = None
     ngroups = 0
 
     def emit_raw(s: str) -> None:
+        """Emit a literal regex segment: count capturing groups (class-
+        aware) and register/rewrite inline named captures."""
         nonlocal ngroups
-        parts.append(s)
-        ngroups += _count_captures(s)
+        out: list[str] = []
+        i, in_class, class_start = 0, False, -1
+        while i < len(s):
+            c = s[i]
+            if c == "\\":
+                out.append(s[i : i + 2])
+                i += 2
+                continue
+            if in_class:
+                first = i == class_start or (
+                    i == class_start + 1 and s[class_start] == "^")
+                if c == "]" and not first:
+                    in_class = False
+                out.append(c)
+                i += 1
+                continue
+            if c == "[":
+                in_class = True
+                class_start = i + 1
+                out.append(c)
+                i += 1
+                continue
+            if c == "(":
+                m = _NAMED_GROUP.match(s, i)
+                if m:
+                    ngroups += 1
+                    fields.append((m.group(1), ngroups, None))
+                    # conservative empty subregex: if this ends up as the
+                    # first capture, the matched test keeps its own rlike
+                    field_subregex.append("")
+                    out.append("(")
+                    i = m.end()
+                    continue
+                if i + 1 >= len(s) or s[i + 1] != "?":
+                    ngroups += 1
+            out.append(c)
+            i += 1
+        parts.append("".join(out))
 
     def walk(pat: str, stack: tuple[str, ...]) -> None:
         nonlocal ngroups

@@ -161,3 +161,65 @@ def test_uripath_extraction_not_shifted(spark):
         .collect()
     )
     assert rows[0].p == "/api/v1/items" and rows[0].w == "hello"
+
+
+class TestInlineNamedCaptures:
+    """Oniguruma-style (?<name>...) in literal segments — the grok
+    filter's documented alternative to pattern_definitions."""
+
+    def test_registered_and_rewritten_to_plain_groups(self):
+        import re
+
+        from logstash_integration_jdbc_spark.functions.parse import compile_grok
+
+        rx, fields, _ = compile_grok(r"id=(?<queue_id>[0-9A-F]{10,11}) %{WORD:w}")
+        assert [(f, i) for f, i, _ in fields] == [("queue_id", 1), ("w", 2)]
+        assert "?<" not in rx            # rewritten to a plain group
+        assert re.compile(rx).groups == 2
+        m = re.search(rx, "id=ABCDEF01234 hello")
+        assert m.group(1) == "ABCDEF01234" and m.group(2) == "hello"
+
+    def test_python_style_spelling_accepted(self):
+        from logstash_integration_jdbc_spark.functions.parse import compile_grok
+
+        _rx, fields, _ = compile_grok(r"(?P<code>\d+)")
+        assert fields[0][0] == "code"
+
+    def test_lookbehind_not_mistaken_for_named_group(self):
+        import re
+
+        from logstash_integration_jdbc_spark.functions.parse import compile_grok
+
+        rx, fields, _ = compile_grok(r"(?<=x)(?<val>\d+)")
+        assert [f for f, _, _ in fields] == ["val"]
+        assert rx.startswith("(?<=x)") and re.compile(rx).groups == 1
+
+    def test_named_group_inside_char_class_is_literal(self):
+        from logstash_integration_jdbc_spark.functions.parse import compile_grok
+
+        rx, fields, _ = compile_grok(r"[(?<abc>]%{INT:n}")
+        assert [f for f, _, _ in fields] == ["n"]
+        assert rx.startswith(r"[(?<abc>]")
+
+    def test_spark_extraction_end_to_end(self, spark):
+        p = GrokParser(r"req (?<qid>[A-F0-9]+) took %{INT:ms:int}ms")
+        df = spark.createDataFrame(
+            [("req BEEF42 took 17ms",), ("garbage",)], "text string")
+        rows = {bool(r.parse_ok): r for r in p.apply(df).collect()}
+        assert rows[True].qid == "BEEF42" and rows[True].ms == 17
+        assert rows[False].qid is None and rows[False].ms is None
+
+    def test_group_index_arithmetic_with_mixed_sources(self):
+        import re
+
+        from logstash_integration_jdbc_spark.functions.parse import compile_grok
+
+        rx, fields, _ = compile_grok(
+            r"%{SYSLOGPROG} (?<sev>\w+) %{INT:code}")
+        idx = {f: i for f, i, _ in fields}
+        assert re.compile(rx).groups == max(idx.values())
+        m = re.search(rx, "app[123] high 42")
+        assert m.group(idx["program"]) == "app"
+        assert m.group(idx["pid"]) == "123"
+        assert m.group(idx["sev"]) == "high"
+        assert m.group(idx["code"]) == "42"
