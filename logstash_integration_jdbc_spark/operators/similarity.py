@@ -251,23 +251,65 @@ def _collect_centroids(corpus: DataFrame, n_centroids: int,
     return [(r["centroid_id"], list(r["cvec"])) for r in rows]
 
 
+def _lloyd_refine(corpus: DataFrame, cents: list[tuple[int, list[float]]],
+                  corpus_id: str, vec_col: str,
+                  iters: int) -> list[tuple[int, list[float]]]:
+    """``iters`` Lloyd steps: assign (map-side literal argmax) → per-
+    cluster element-wise mean → collect the (n_centroids × dim)-row
+    aggregate → new literal centroids. Each iteration is ONE small
+    shuffle (posexplode → groupBy(centroid, pos) partial-avg); the
+    collect is n_centroids·dim rows — driver-tiny by definition. Empty
+    clusters keep their previous centroid; centroid ids are stable."""
+    for _ in range(iters):
+        best = F.array_max(F.transform(
+            _centroid_sims(F.col(vec_col), cents),
+            lambda s: F.struct(
+                s["sim"].alias("sim"),
+                (-s["centroid_id"]).alias("__negid"),
+                s["centroid_id"].alias("centroid_id"),
+            ),
+        ))
+        # two selects: a generator (posexplode) alongside the argmax
+        # lambda in ONE select trips analyzer lambda-field resolution
+        rows = (
+            corpus.select(best["centroid_id"].alias("__c"),
+                          F.col(vec_col).alias("__v"))
+            .select("__c", F.posexplode("__v").alias("__p", "__x"))
+            .groupBy("__c", "__p")
+            .agg(F.avg("__x").alias("__m"))
+            .collect()
+        )
+        means: dict[int, dict[int, float]] = {}
+        for r in rows:
+            means.setdefault(r["__c"], {})[r["__p"]] = r["__m"]
+        cents = [
+            (cid, [means[cid][p] for p in range(len(vec))])
+            if cid in means else (cid, vec)
+            for cid, vec in cents
+        ]
+    return cents
+
+
 def ivf_index(corpus: DataFrame, n_centroids: int = 16,
               corpus_id: str = "vec_id", vec_col: str = "embedding",
-              _cents: list[tuple[int, list[float]]] | None = None) -> tuple[DataFrame, DataFrame]:
+              _cents: list[tuple[int, list[float]]] | None = None,
+              kmeans_iters: int = 0) -> tuple[DataFrame, DataFrame]:
     """Assign each corpus vector to its nearest centroid (one map pass).
 
     Centroids: the vectors with the n_centroids smallest ids —
-    deterministic, no iterative k-means (a production system would run a
-    few Lloyd iterations the same way: collect/broadcast centroids,
-    re-assign, re-average; assignment is the part that matters for the
-    plan shape). Assignment is a map-side argmax over the literal
-    centroid array — ``array_max`` on (sim, -centroid_id) structs — NOT a
-    crossJoin + per-row window, which would shuffle |corpus|×n_centroids
-    rows just to take an argmax. Ties break to the smallest centroid_id.
-    Returns (assigned_corpus, centroids).
+    deterministic; ``kmeans_iters`` > 0 refines them with that many
+    Lloyd steps (assign → element-wise cluster mean → re-broadcast; see
+    ``_lloyd_refine``) before the final assignment, which balances
+    buckets on clustered corpora. Assignment is a map-side argmax over
+    the literal centroid array — ``array_max`` on (sim, -centroid_id)
+    structs — NOT a crossJoin + per-row window, which would shuffle
+    |corpus|×n_centroids rows just to take an argmax. Ties break to the
+    smallest centroid_id. Returns (assigned_corpus, centroids).
     """
     cents = _cents if _cents is not None else _collect_centroids(
         corpus, n_centroids, corpus_id, vec_col)
+    if kmeans_iters:
+        cents = _lloyd_refine(corpus, cents, corpus_id, vec_col, kmeans_iters)
     spark = corpus.sparkSession
     centroids = spark.createDataFrame(
         [(cid, cvec) for cid, cvec in cents],
@@ -296,6 +338,7 @@ def ivf_topk(
     corpus_id: str = "vec_id",
     query_id: str = "query_id",
     vec_col: str = "embedding",
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF search: probe the n_probe nearest centroid buckets per query.
 
@@ -304,8 +347,13 @@ def ivf_topk(
     centroid_id expresses the same pruning. Probe selection is the same
     map-side literal-centroid scoring as assignment (sort the per-query
     sim array, slice n_probe) — no crossJoin, no window.
+    ``kmeans_iters`` refines the centroids first (``_lloyd_refine``);
+    probes then use the refined set, keeping probe and assignment
+    consistent.
     """
     cents = _collect_centroids(corpus, n_centroids, corpus_id, vec_col)
+    if kmeans_iters:
+        cents = _lloyd_refine(corpus, cents, corpus_id, vec_col, kmeans_iters)
     assigned, _ = ivf_index(corpus, n_centroids, corpus_id, vec_col, _cents=cents)
     q = queries.select(F.col(query_id), F.col(vec_col).alias("__qvec"))
     # sort by (-sim, centroid_id) ascending ≡ sim DESC, centroid_id ASC

@@ -99,3 +99,90 @@ def test_sketch_udf_matches_expression_form(spark):
     assert len(rows) == 64
     for r in rows:
         assert r.expr_sk == r.udf_sk
+
+
+class TestLloydRefinement:
+    @staticmethod
+    def _clustered(spark):
+        import numpy as np
+
+        rng = np.random.RandomState(9)
+        centers = np.array([[10, 0, 0, 0], [0, 10, 0, 0], [0, 0, 10, 0]],
+                           dtype=float)
+        rows = []
+        vid = 0
+        for c in range(3):
+            for _ in range(40):
+                v = centers[c] + rng.randn(4) * 0.5
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_refinement_improves_mean_assignment_cosine(self, spark):
+        import numpy as np
+
+        from logstash_integration_jdbc_spark.operators.similarity import (
+            _collect_centroids,
+            _lloyd_refine,
+            _seq_norm,
+        )
+
+        df = self._clustered(spark)
+        # smallest-id seeds all come from cluster 0 — worst case for the
+        # no-refinement default on this fixture
+        seeds = _collect_centroids(df, 3, "vec_id", "embedding")
+        refined = _lloyd_refine(df, seeds, "vec_id", "embedding", iters=3)
+
+        data = {r.vec_id: np.array(r.embedding) for r in df.collect()}
+
+        def mean_best_cos(cents):
+            tot = 0.0
+            for v in data.values():
+                tot += max(
+                    float(v @ np.array(c)) / (np.linalg.norm(v) * _seq_norm(c))
+                    for _, c in cents
+                )
+            return tot / len(data)
+
+        assert mean_best_cos(refined) > mean_best_cos(seeds) + 0.05
+
+    def test_refined_assignment_still_map_only(self, spark):
+        from logstash_integration_jdbc_spark.operators.similarity import ivf_index
+
+        df = self._clustered(spark)
+        assigned, _ = ivf_index(df, n_centroids=3, kmeans_iters=2)
+        plan = assigned._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Join" not in plan
+        assert "EvalPython" not in plan
+
+    def test_refinement_deterministic(self, spark):
+        from logstash_integration_jdbc_spark.operators.similarity import (
+            _collect_centroids,
+            _lloyd_refine,
+        )
+
+        df = self._clustered(spark)
+        seeds = _collect_centroids(df, 3, "vec_id", "embedding")
+        a = _lloyd_refine(df, seeds, "vec_id", "embedding", 2)
+        b = _lloyd_refine(df, seeds, "vec_id", "embedding", 2)
+        assert a == b
+
+    def test_ivf_topk_with_refinement_matches_brute_force(self, spark):
+        from logstash_integration_jdbc_spark.operators.similarity import (
+            cosine_topk,
+            ivf_topk,
+        )
+
+        from pyspark.sql import functions as F
+
+        df = self._clustered(spark)
+        queries = df.filter(F.col("vec_id").isin(0, 45, 85)).selectExpr(
+            "vec_id as query_id", "embedding")
+        want = {(r.query_id, r.vec_id) for r in
+                cosine_topk(df, queries, k=5).collect()}
+        got = {(r.query_id, r.vec_id) for r in
+               ivf_topk(df, queries, k=5, n_centroids=3, n_probe=1,
+                        kmeans_iters=3).collect()}
+        # refined centroids align with the true clusters, so 1-probe IVF
+        # recovers the exact top-5 on this separable fixture
+        assert got == want
