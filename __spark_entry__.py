@@ -861,11 +861,11 @@ def _q_png_resize(spark, sf_dir):
 
 
 # Location for the deterministic generated pipeline input: the query
-# functions write it once (marker-protocol — the content is a pure
-# function of (n_rows=5000, seed=42), so a dir that already carries the
-# _DONE marker is byte-identical and is NOT rewritten; this removes the
-# overwrite race between concurrent runs the round-2 fixed-dir had),
-# and the DuckDB oracles reimplement parse→enrich→route over it with
+# functions write it once (build-in-temp + atomic rename — the content
+# is a pure function of (n_rows=5000, seed=42), so a dir carrying the
+# _DONE marker is byte-identical and is NOT rewritten; concurrent first
+# runs each build privately and exactly one rename wins), and the
+# DuckDB oracles reimplement parse→enrich→route over it with
 # read_parquet. Overridable for non-default environments.
 _PIPELINE_ORACLE_DIR = os.environ.get(
     "SPARK_GRAFT_PIPELINE_ORACLE_DIR", "/tmp/ljspark_oracle-5000-42")
@@ -873,6 +873,8 @@ _PIPELINE_ORACLE_DIR = os.environ.get(
 
 def _write_pipeline_input(spark):
     import os as _os
+    import shutil as _sh
+    import tempfile as _tf
 
     from logstash_integration_jdbc_spark.sources.generator import (
         gen_tool_dim,
@@ -882,12 +884,34 @@ def _write_pipeline_input(spark):
     tr = gen_transcripts(spark, n_rows=5000, seed=42)
     marker = _os.path.join(_PIPELINE_ORACLE_DIR, "_DONE")
     if not _os.path.exists(marker):
-        tr.write.mode("overwrite").parquet(
-            _os.path.join(_PIPELINE_ORACLE_DIR, "transcripts.parquet"))
-        gen_tool_dim(spark).write.mode("overwrite").parquet(
-            _os.path.join(_PIPELINE_ORACLE_DIR, "tool_dim.parquet"))
-        with open(marker, "w", encoding="utf-8") as fh:
-            fh.write("n_rows=5000 seed=42")
+        # Build in a private temp dir, then atomically rename into place:
+        # concurrent first runs each build their own (byte-identical)
+        # tree; exactly one rename wins and losers discard theirs — no
+        # window where readers see a half-written shared dir.
+        parent = _os.path.dirname(_PIPELINE_ORACLE_DIR) or "."
+        tmp = _tf.mkdtemp(prefix="ljspark_oracle_tmp-", dir=parent)
+        try:
+            tr.write.mode("overwrite").parquet(
+                _os.path.join(tmp, "transcripts.parquet"))
+            gen_tool_dim(spark).write.mode("overwrite").parquet(
+                _os.path.join(tmp, "tool_dim.parquet"))
+            with open(_os.path.join(tmp, "_DONE"), "w", encoding="utf-8") as fh:
+                fh.write("n_rows=5000 seed=42")
+            try:
+                _os.rename(tmp, _PIPELINE_ORACLE_DIR)
+            except OSError:
+                # target exists: either a racer won (marker present —
+                # their tree is identical, use it) or a stale markerless
+                # dir is in the way (replace it, tolerating a racer
+                # doing the same).
+                if not _os.path.exists(marker):
+                    _sh.rmtree(_PIPELINE_ORACLE_DIR, ignore_errors=True)
+                    try:
+                        _os.rename(tmp, _PIPELINE_ORACLE_DIR)
+                    except OSError:
+                        pass
+        finally:
+            _sh.rmtree(tmp, ignore_errors=True)
     return tr
 
 

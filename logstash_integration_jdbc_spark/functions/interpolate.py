@@ -60,6 +60,43 @@ def sprintf_expr(template: str) -> Column:
     return F.concat(*pieces)
 
 
+def classify_bind_value(value: Any) -> str:
+    """Prepared-statement bind-value scheme → 'interpolated' | 'field' |
+    'constant', mirroring ``build_bind_value_handler``
+    (parameter_handler.rb:19-34): non-strings are constants, ``%{...}``
+    is interpolated, strings that are entirely square-bracket refs
+    (``"[a]"``, ``"[a][b]"``, whitespace-separated) are field refs, any
+    other string is a constant."""
+    if not isinstance(value, str):
+        return "constant"
+    if _REF_RE.search(value):
+        return "interpolated"
+    if re.fullmatch(r"(\s*\[[^\]]+\]\s*)*", value):
+        return "field"
+    return "constant"
+
+
+def warn_on_string_constants(bind_values: list[Any] | tuple[Any, ...]) -> list[str]:
+    """The reference's constant-usage nicety
+    (jdbc_streaming.rb:95,188-194, default-on
+    ``prepared_statement_warn_on_constant_usage``): a bare string bind
+    value like ``"ip"`` is treated as a CONSTANT, not the field named
+    ip — an easy silent misconfiguration. Returns the warnable string
+    constants (empty = nothing logged) and logs one warning naming them
+    with the reference's wording."""
+    warnables = [v for v in bind_values
+                 if isinstance(v, str) and classify_bind_value(v) == "constant"]
+    if warnables:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "When using prepared statements, the following "
+            "`prepared_statement_bind_values` will be treated as constants, "
+            "if you intend them to be field references please use the square "
+            "bracket field reference syntax e.g. '[field]': %s", warnables)
+    return warnables
+
+
 def param_expr(value: Any) -> tuple[Column, Column | None]:
     """Compile one parameter scheme.
 

@@ -201,6 +201,10 @@ def parse_jpeg(payload: bytes):
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
+        # spec-legal 0xFF fill bytes may pad before the marker code
+        # (ITU T.81 B.1.1.2) — skip them so the code byte isn't misread
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:

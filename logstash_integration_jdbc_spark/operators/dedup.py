@@ -387,7 +387,8 @@ def exact_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
                        vec_col: str = "embedding",
                        min_cosine: float = 0.95,
                        n_blocks: int | None = None,
-                       target_tile_rows: int = 8192) -> DataFrame:
+                       target_tile_rows: int = 8192,
+                       n_rows: int | None = None) -> DataFrame:
     """ALL pairs with cosine ≥ min_cosine — exact, tiled block-GEMM.
 
     Why this exists (measured, sf0.1, local[32]): real embedding corpora
@@ -399,8 +400,7 @@ def exact_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
     per-pair interpreted expressions (~9 s). The exact algorithm done
     right is distributed brute force:
 
-    - rows hash into ``B = ceil(n / target_tile_rows)`` blocks (one
-      cheap id-column count derives B unless ``n_blocks`` is given), so
+    - rows hash into ``B = ceil(n / target_tile_rows)`` blocks, so
       TILE size — not corpus size — bounds every memory unit: no row or
       task ever holds more than ~2·target_tile_rows vectors (the
       round-2 shape collected corpus/16 vectors into ONE row — an
@@ -417,6 +417,13 @@ def exact_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
     Quadratic by nature — at 100 TB pre-cluster (ivf_index) and run this
     within buckets; for high thresholds (≥0.99) on less-clustered data
     ``embedding_near_dups`` prunes genuinely and scales further.
+
+    Tile sizing: when neither ``n_blocks`` nor ``n_rows`` is given, a
+    ``df.select(id_col).count()`` derives B — that is an EXTRA full
+    action that recomputes the upstream lineage. If ``df`` comes from
+    expensive transforms, pass ``n_rows`` (a known/estimated row count;
+    B only sizes tiles, so an estimate within ~2× is fine) or persist
+    the input around the call.
     """
     import numpy as np
 
@@ -426,8 +433,10 @@ def exact_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
     )
 
     if n_blocks is None:
+        if n_rows is None:
+            n_rows = df.select(id_col).count()
         n_blocks = _tile_count(
-            df.select(id_col).count(), target_tile_rows,
+            n_rows, target_tile_rows,
             min_parallelism=df.sparkSession.sparkContext.defaultParallelism)
     margin = min_cosine - 1e-9
 

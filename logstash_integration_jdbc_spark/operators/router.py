@@ -163,13 +163,17 @@ class Router:
                         # session-catalog tables don't take V2 writes) —
                         # a genuine data/write error must surface, not be
                         # silently rerouted after a possible partial write.
-                        from pyspark.errors import AnalysisException
-
+                        # Matched by the unsupported-operation error class /
+                        # message only: a schema or column mismatch is ALSO
+                        # an AnalysisException and must NOT be rerouted to
+                        # the positional insertInto.
                         msg = str(e)
-                        v1_gap = isinstance(e, AnalysisException) or any(
-                            s in msg for s in ("UnsupportedOperation",
-                                               "does not support",
-                                               "TABLE_OPERATION"))
+                        err_class = getattr(e, "getErrorClass", lambda: None)() or ""
+                        v1_gap = ("TABLE_OPERATION" in err_class
+                                  or "Cannot write into v1 table" in msg
+                                  or "UnsupportedOperation" in msg
+                                  or "does not support" in msg
+                                  or "TABLE_OPERATION" in msg)
                         if not v1_gap:
                             raise
                         import logging
@@ -185,8 +189,17 @@ class Router:
                         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
                         try:
                             # insertInto is positional; the catalog moves
-                            # partition columns to the end of the schema
+                            # partition columns to the end of the schema.
+                            # Guard: name-sets must align exactly, else the
+                            # positional write could commit misordered data.
                             cols = spark.table(catalog_table).columns
+                            missing = set(cols) - set(out.columns)
+                            extra = set(out.columns) - set(cols)
+                            if missing or extra:
+                                raise ValueError(
+                                    f"column mismatch vs {catalog_table}: "
+                                    f"missing={sorted(missing)} extra={sorted(extra)}"
+                                ) from e
                             out.select(*cols).write.mode("overwrite").insertInto(catalog_table)
                         finally:
                             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -143,6 +143,7 @@ def validate_prepared_statement_mode(
     bind_values: list[Any] | tuple[Any, ...],
     name: str = "",
     paging_enabled: bool = False,
+    warn_on_constant_usage: bool = True,
 ) -> list[str]:
     """Full prepared-statement-mode validation parity
     (jdbc.rb:361-375): returns every error message, empty = valid.
@@ -150,7 +151,15 @@ def validate_prepared_statement_mode(
     config-level check covering the two the execution path can't see —
     the statement name (the db-session handle the reference registers)
     and the paging conflict (pagination is unsupported with prepared
-    statements)."""
+    statements). ``warn_on_constant_usage`` (default-on, matching
+    jdbc_streaming.rb:95,188-194) logs when a bare string bind value
+    would silently bind as a constant rather than a field reference."""
+    if warn_on_constant_usage:
+        from logstash_integration_jdbc_spark.functions.interpolate import (
+            warn_on_string_constants,
+        )
+
+        warn_on_string_constants(bind_values)
     errors: list[str] = []
     if not name:
         errors.append("must provide a name for the Prepared Statement, "

@@ -69,10 +69,28 @@ def parse_duration(spec: str | float | int) -> float:
     return total
 
 
-def _parse_field(spec: str, lo: int, hi: int) -> frozenset[int] | None:
-    """One cron field → allowed-value set; None means unrestricted (*)."""
+_MONTH_NAMES = {n: i + 1 for i, n in enumerate(
+    "JAN FEB MAR APR MAY JUN JUL AUG SEP OCT NOV DEC".split())}
+_DOW_NAMES = {n: i for i, n in enumerate(
+    "SUN MON TUE WED THU FRI SAT".split())}
+
+
+def _parse_field(spec: str, lo: int, hi: int,
+                 names: dict[str, int] | None = None) -> frozenset[int] | None:
+    """One cron field → allowed-value set; None means unrestricted (*).
+
+    ``names`` maps standard cron name tokens (JAN-DEC / SUN-SAT, case-
+    insensitive) to their numeric values for the month and day-of-week
+    fields; an unknown name falls through to the bad-cron-field error.
+    """
     if spec == "*":
         return None
+    if names:
+        spec = re.sub(
+            r"[A-Za-z]{3}",
+            lambda m: str(names.get(m.group(0).upper(), m.group(0))),
+            spec,
+        )
     vals: set[int] = set()
     for part in spec.split(","):
         m = re.fullmatch(r"(\*|\d+(?:-\d+)?)(?:/(\d+))?", part)
@@ -120,13 +138,22 @@ class CronLine:
     def parse(cls, line: str) -> CronLine:
         fields = line.split()
         tz = None
-        # numeric-only cron fields mean any alphabetic trailing token is
-        # a timezone name (unknown names raise from ZoneInfo)
+        # A trailing alphabetic token is a timezone only if ZoneInfo
+        # resolves it; otherwise it stays a cron field (named DOW/month
+        # tokens like 'MON' or 'JAN' are legal there). A token with '/'
+        # that fails to resolve is unambiguously a bad zone name — raise
+        # naming the zone rather than a confusing field error.
         if fields and re.search(r"[A-Za-z]", fields[-1]):
             from zoneinfo import ZoneInfo
 
-            tz = ZoneInfo(fields[-1])
-            fields = fields[:-1]
+            try:
+                tz = ZoneInfo(fields[-1])
+                fields = fields[:-1]
+            except Exception:
+                if "/" in fields[-1]:
+                    raise ValueError(
+                        f"unknown timezone {fields[-1]!r} in cron line {line!r}"
+                    ) from None
         if len(fields) == 5:
             fields = ["0"] + fields
             has_seconds = False
@@ -134,8 +161,10 @@ class CronLine:
             has_seconds = True
         else:
             raise ValueError(f"cron line needs 5 or 6 fields: {line!r}")
+        _names = (None, None, None, None, _MONTH_NAMES, _DOW_NAMES)
         parsed = [
-            _parse_field(f, lo, hi) for f, (lo, hi) in zip(fields, _FIELD_RANGES)
+            _parse_field(f, lo, hi, nm)
+            for f, (lo, hi), nm in zip(fields, _FIELD_RANGES, _names)
         ]
         wd = parsed[5]
         if wd is not None and 7 in wd:  # 0 and 7 both mean Sunday

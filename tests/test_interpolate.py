@@ -44,3 +44,55 @@ def test_field_param_invalid_when_null(spark):
     df = spark.createDataFrame([("a",), (None,)], "tool string")
     rows = df.select(expr.alias("k"), invalid.alias("inv")).collect()
     assert [r.inv for r in rows] == [False, True]
+
+
+def test_classify_bind_value_schemes():
+    from logstash_integration_jdbc_spark.functions.interpolate import (
+        classify_bind_value,
+    )
+
+    # parameter_handler.rb:19-34 parity
+    assert classify_bind_value(2) == "constant"
+    assert classify_bind_value(1.5) == "constant"
+    assert classify_bind_value("%{[ip]}-x") == "interpolated"
+    assert classify_bind_value("[ip]") == "field"
+    assert classify_bind_value(" [a] [b] ") == "field"
+    assert classify_bind_value("ip") == "constant"
+    assert classify_bind_value("tokyo") == "constant"
+
+
+def test_prepared_statement_constant_warning(caplog):
+    """jdbc_streaming_spec.rb 'warns on constant usage' /
+    'using one variable and one constant' parity."""
+    import logging
+
+    from logstash_integration_jdbc_spark.functions.interpolate import (
+        warn_on_string_constants,
+    )
+    from logstash_integration_jdbc_spark.sources.scan import (
+        validate_prepared_statement_mode,
+    )
+
+    # ["[ip]", 2]: field + numeric constant — no warning
+    with caplog.at_level(logging.WARNING):
+        assert warn_on_string_constants(["[ip]", 2]) == []
+    assert not caplog.records
+
+    # ["ip", 2]: bare string binds as a constant — warned, named
+    with caplog.at_level(logging.WARNING):
+        assert warn_on_string_constants(["ip", 2]) == ["ip"]
+    assert any("treated as constants" in r.getMessage() for r in caplog.records)
+
+    # flows through prepared-statement validation (default-on, off-able)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING):
+        errs = validate_prepared_statement_mode(
+            "SELECT * FROM t WHERE a = ? AND b = ?", ["ip", 2], name="p1")
+    assert errs == []
+    assert any("treated as constants" in r.getMessage() for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING):
+        validate_prepared_statement_mode(
+            "SELECT * FROM t WHERE a = ? AND b = ?", ["ip", 2], name="p1",
+            warn_on_constant_usage=False)
+    assert not caplog.records

@@ -99,6 +99,23 @@ def test_byte_stuffing_survives():
     assert got.shape == (32, 32, 3)
 
 
+def test_ff_fill_bytes_before_markers():
+    """ITU T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker code; pad several markers and decode must still succeed."""
+    px = np.full((16, 16, 3), 120, dtype=np.uint8)
+    blob = encode_jpeg(px, quality=90)
+    padded = bytearray()
+    i = 0
+    while i < len(blob):
+        if blob[i] == 0xFF and i + 1 < len(blob) and blob[i + 1] in (0xDB, 0xC4, 0xC0):
+            padded += b"\xFF\xFF\xFF"  # fill bytes, then the real marker
+        padded.append(blob[i])
+        i += 1
+    _w, _h, got = parse_jpeg(bytes(padded))
+    ref = parse_jpeg(blob)[2]
+    assert np.array_equal(got, ref)
+
+
 def test_progressive_rejected_names_pillow():
     px = np.zeros((8, 8, 3), dtype=np.uint8)
     blob = bytearray(encode_jpeg(px))

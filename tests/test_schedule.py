@@ -231,8 +231,28 @@ class TestCronTimezone:
     def test_unknown_tz_rejected(self):
         import pytest as _pytest
 
-        with _pytest.raises(Exception):
+        with _pytest.raises(ValueError, match="Not/AZone"):
             CronLine.parse("0 9 * * * Not/AZone")
+
+    def test_named_dow_and_month_tokens(self):
+        # standard cron name tokens are cron FIELDS, not timezones
+        cl = CronLine.parse("0 9 * * MON")
+        assert cl.tz is None and cl.weekdays == frozenset({1})
+        cl = CronLine.parse("0 9 * JAN,jul SUN-TUE")
+        assert cl.months == frozenset({1, 7})
+        assert cl.weekdays == frozenset({0, 1, 2})
+        # a name token AND a trailing tz coexist
+        from zoneinfo import ZoneInfo
+
+        cl = CronLine.parse("0 9 * * FRI America/Chicago")
+        assert cl.tz == ZoneInfo("America/Chicago")
+        assert cl.weekdays == frozenset({5})
+
+    def test_bad_name_token_is_field_error(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="cron"):
+            CronLine.parse("0 9 * * XYZ")
 
     def test_next_time_across_spring_forward(self):
         """2026-03-08 02:00 CST does not exist in America/Chicago; the
