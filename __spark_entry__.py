@@ -795,6 +795,104 @@ def _q_jpeg_solid(spark, sf_dir):
     )
 
 
+def _jpeg_tile_analytic(rgb: tuple[int, int, int]) -> tuple[tuple[int, int, int], bool]:
+    """Closed-form decode of a solid 16×16 tile in a quality-90 4:2:0
+    JPEG: each Y/Cb/Cr block is DC-only, so the reconstruction is
+    quantize → dequantize → YCbCr→RGB arithmetic — no huffman, no
+    bit-reader, no IDCT. Returns (decoded_rgb, safe) where safe=False
+    means some intermediate sits within 0.02 of a rounding boundary
+    (float ulp noise between the matrix codec and this closed form
+    could flip the rounded integer — the spec generator skips those
+    colors)."""
+    import math as _m
+
+    qy00, qc00 = 3, 3  # Annex K DC quantizers scaled to quality 90
+    r, g, b = (float(x) for x in rgb)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    margins, outs = [], []
+    for v, q in ((y, qy00), (cb, qc00), (cr, qc00)):
+        t = 8.0 * (v - 128.0) / q
+        margins.append(t)
+        outs.append(round(t) * q / 8.0 + 128.0)
+    y2, cb2, cr2 = outs
+    rr = y2 + 1.402 * (cr2 - 128.0)
+    gg = y2 - 0.344136 * (cb2 - 128.0) - 0.714136 * (cr2 - 128.0)
+    bb = y2 + 1.772 * (cb2 - 128.0)
+    margins += [rr, gg, bb]
+    safe = all(abs((v - _m.floor(v)) - 0.5) > 0.02 for v in margins)
+    out = tuple(int(min(max(round(c), 0.0), 255.0)) for c in (rr, gg, bb))
+    return out, safe
+
+
+def _jpeg_textured_spec(i: int):
+    """Deterministic textured-JPEG spec for driver row i:
+    (tiles_x, tiles_y, row-major tile colors, restart_interval)."""
+    import hashlib as _h
+
+    d0 = _h.sha256(f"jpegt:{i}".encode()).digest()
+    tx, ty = 2 + d0[0] % 3, 2 + d0[1] % 3
+    colors: list[tuple[int, int, int]] = []
+    ctr = 0
+    while len(colors) < tx * ty:
+        dd = _h.sha256(f"jpegt:{i}:{ctr}".encode()).digest()
+        ctr += 1
+        for k in range(0, 30, 3):
+            rgb = (dd[k], dd[k + 1], dd[k + 2])
+            if _jpeg_tile_analytic(rgb)[1]:
+                colors.append(rgb)
+                if len(colors) == tx * ty:
+                    break
+    return tx, ty, colors, (2 if i % 3 == 0 else 0)
+
+
+def _q_jpeg_textured(spark, sf_dir):
+    # textured COLOR 4:2:0 JPEGs (restart markers on every third row)
+    # through the real decoder: tiles are 16×16 solid (sampling-aligned)
+    # so every Y/Cb/Cr block is DC-only and the expected decoded color
+    # is ANALYTIC (_jpeg_tile_analytic) — huffman/bit-reader/IDCT/
+    # upsampling bugs cannot cancel against the oracle. The kernel also
+    # asserts each decoded tile is uniform (uniform column, oracle-
+    # checked TRUE) so the sampled pixel provably represents the tile.
+    import numpy as np
+    import pandas as pd
+
+    from logstash_integration_jdbc_spark.functions.jpeg import (
+        encode_jpeg,
+        parse_jpeg,
+    )
+
+    _pin(spark)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                tx, ty, colors, rst = _jpeg_textured_spec(i)
+                px = np.zeros((ty * 16, tx * 16, 3), dtype=np.uint8)
+                for t, c in enumerate(colors):
+                    r0, c0 = (t // tx) * 16, (t % tx) * 16
+                    px[r0 : r0 + 16, c0 : c0 + 16] = c
+                blob = encode_jpeg(px, quality=90, subsample=True,
+                                   restart_interval=rst)
+                _w, _h, dec = parse_jpeg(blob)
+                for t in range(tx * ty):
+                    r0, c0 = (t // tx) * 16, (t % tx) * 16
+                    tile = dec[r0 : r0 + 16, c0 : c0 + 16]
+                    uni = bool((tile.min(axis=(0, 1)) == tile.max(axis=(0, 1))).all())
+                    rows.append({
+                        "media_id": i, "tile_idx": t,
+                        "r": int(tile[8, 8, 0]), "g": int(tile[8, 8, 1]),
+                        "b": int(tile[8, 8, 2]), "uniform": uni,
+                    })
+            yield pd.DataFrame(rows)
+
+    return spark.range(120).mapInPandas(
+        gen, schema="media_id long, tile_idx int, r int, g int, b int, uniform boolean")
+
+
 def _q_media_stats(spark, sf_dir):
     # generated binary media table (no testdata media exists); the oracle
     # is the expected aggregate computed independently in pure Python
@@ -822,6 +920,45 @@ def _q_frame_sample(spark, sf_dir):
     return frames.select(
         "media_id", "frame_idx", F.length("frame_bytes").alias("frame_len")
     )
+
+
+def _q_mjpeg_frames(spark, sf_dir):
+    # real-world-shaped VIDEO path: motion-JPEG (concatenated standalone
+    # baseline JPEGs). sample_frames carves frames by marker-walking the
+    # entropy stream (split_jpeg_frames); each carved frame then decodes
+    # with the real JPEG codec. The oracle recomputes every expected
+    # frame's bytes independently (builders + shared encoder — the
+    # splitter and decoder under test are NOT shared), so a mis-carved
+    # boundary or a decode fault cannot cancel out.
+    import hashlib as _hl
+
+    import pandas as pd
+
+    from logstash_integration_jdbc_spark.functions.jpeg import parse_jpeg
+    from logstash_integration_jdbc_spark.operators.multimodal import (
+        gen_media,
+        sample_frames,
+    )
+
+    _pin(spark)
+    frames = sample_frames(gen_media(spark, n_rows=300, video_format="mjpeg"),
+                           every_n=2, max_frames=3)
+
+    def dec(batches):
+        for pdf in batches:
+            rows = []
+            for mid, idx, fb in zip(pdf["media_id"], pdf["frame_idx"],
+                                    pdf["frame_bytes"]):
+                b = bytes(fb)
+                w, h, _px = parse_jpeg(b)
+                rows.append({"media_id": int(mid), "frame_idx": int(idx),
+                             "width": w, "height": h,
+                             "frame_md5": _hl.md5(b).hexdigest()})
+            yield pd.DataFrame(rows)
+
+    return frames.mapInPandas(
+        dec,
+        schema="media_id bigint, frame_idx int, width int, height int, frame_md5 string")
 
 
 def _q_resize(spark, sf_dir):
@@ -1034,9 +1171,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups_scalable": _q_embedding_near_dups_scalable,
         "multimodal_media_stats": _q_media_stats,
         "multimodal_frame_sample": _q_frame_sample,
+        "multimodal_mjpeg_frames": _q_mjpeg_frames,
         "multimodal_resize": _q_resize,
         "multimodal_png_resize": _q_png_resize,
         "multimodal_jpeg_solid": _q_jpeg_solid,
+        "multimodal_jpeg_textured": _q_jpeg_textured,
         "streaming_counts": _q_streaming_counts,
         "transcript_pipeline": _q_transcript_pipeline,
     }
@@ -1746,6 +1885,42 @@ def oracle_sql() -> dict[str, str]:
     q["multimodal_frame_sample"] = (
         f"SELECT * FROM (VALUES {fvals}) t(media_id, frame_idx, frame_len)"
     )
+    # motion-JPEG frame sample: expected per-frame md5 + dims recomputed
+    # in pure Python from the deterministic builders (shared: encoder;
+    # under test and NOT shared: the frame splitter and decoder).
+    import hashlib as _hl2
+
+    import numpy as _np2
+
+    from logstash_integration_jdbc_spark.functions.jpeg import encode_jpeg as _ej
+    from logstash_integration_jdbc_spark.operators.multimodal import (
+        _pixel_bytes as _pb,
+    )
+
+    mrows = []
+    for i in range(300):
+        s = _row_spec(i, 42)
+        if s["kind"] != "video":
+            continue
+        taken = 0
+        for idx in range(0, s["n_frames"], 2):
+            if taken >= 3:
+                break
+            px = _np2.frombuffer(
+                _pb(i, 42, s["width"] * s["height"] * 3, salt=idx),
+                dtype=_np2.uint8,
+            ).reshape(s["height"], s["width"], 3)
+            mrows.append((i, idx, s["width"], s["height"],
+                          _hl2.md5(_ej(px, quality=90)).hexdigest()))
+            taken += 1
+    mvals = ", ".join(
+        f"(CAST({m} AS BIGINT), {idx}, {w}, {h}, '{d}')"
+        for m, idx, w, h, d in mrows
+    )
+    q["multimodal_mjpeg_frames"] = (
+        f"SELECT * FROM (VALUES {mvals}) "
+        "t(media_id, frame_idx, width, height, frame_md5)"
+    )
     # resize: expected md5 of each resized payload, computed by an
     # independent pure-Python nearest-neighbor twin (list slicing, no
     # numpy) over the shared deterministic payload builders.
@@ -1820,5 +1995,19 @@ def oracle_sql() -> dict[str, str]:
     )
     q["multimodal_jpeg_solid"] = (
         f"SELECT * FROM (VALUES {jvals}) t(media_id, width, height, pixel_value)"
+    )
+    # Textured 4:2:0 color JPEG: expected per-tile colors are analytic
+    # (DC-only closed form — see _jpeg_tile_analytic); every decoded
+    # tile must also be uniform.
+    trows = []
+    for i in range(120):
+        tx, ty, colors, _rst = _jpeg_textured_spec(i)
+        for t, rgb in enumerate(colors):
+            rr, gg, bb = _jpeg_tile_analytic(rgb)[0]
+            trows.append(
+                f"(CAST({i} AS BIGINT), {t}, {rr}, {gg}, {bb}, TRUE)")
+    q["multimodal_jpeg_textured"] = (
+        "SELECT * FROM (VALUES " + ", ".join(trows)
+        + ") t(media_id, tile_idx, r, g, b, uniform)"
     )
     return q

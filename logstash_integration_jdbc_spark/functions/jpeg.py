@@ -359,6 +359,58 @@ def parse_jpeg(payload: bytes):
     return w, h, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
+def split_jpeg_frames(payload: bytes) -> list[tuple[int, int]]:
+    """Offsets of each complete JPEG in a motion-JPEG byte stream.
+
+    M-JPEG (the RFC 2435 / AVI-MJPG shape) is concatenated standalone
+    baseline JPEGs. Each frame self-delimits: walk marker segments by
+    their length fields until SOS, then scan the entropy-coded data for
+    the first non-stuffed, non-restart marker (byte-stuffing guarantees
+    a raw 0xFFD9 cannot occur inside entropy data) — that is EOI.
+    Returns [(start, end), ...] with end exclusive.
+    """
+    frames: list[tuple[int, int]] = []
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        if payload[pos : pos + 2] != b"\xFF\xD8":
+            raise ValueError(f"expected SOI at offset {pos} in M-JPEG stream")
+        start = pos
+        pos += 2
+        in_scan = False
+        while pos < n:
+            if not in_scan:
+                if payload[pos] != 0xFF:
+                    raise ValueError("bad JPEG marker alignment in M-JPEG frame")
+                while pos + 1 < n and payload[pos + 1] == 0xFF:
+                    pos += 1  # fill bytes
+                marker = payload[pos + 1]
+                pos += 2
+                if marker == 0xD9:  # EOI — empty frame (no SOS); done
+                    break
+                if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
+                    continue
+                (seglen,) = struct.unpack_from(">H", payload, pos)
+                pos += seglen
+                if marker == 0xDA:
+                    in_scan = True
+            else:
+                # entropy data: skip to the next true marker
+                if payload[pos] == 0xFF and pos + 1 < n:
+                    nxt = payload[pos + 1]
+                    if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                        pos += 2  # stuffed byte / restart marker
+                        continue
+                    if nxt == 0xD9:
+                        pos += 2
+                        break
+                    in_scan = False  # e.g. DNL — rewalk as a segment
+                    continue
+                pos += 1
+        frames.append((start, pos))
+    return frames
+
+
 # ---------------------------------------------------------------------------
 # encoder (test-fixture factory: baseline 4:4:4, Annex K tables)
 # ---------------------------------------------------------------------------

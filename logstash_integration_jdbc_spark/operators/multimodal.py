@@ -13,9 +13,10 @@ formats:
   sampling factors ≤2) via the pure-stdlib huffman+IDCT codec in
   ``functions/jpeg.py``;
 - audio: RIFF/WAVE PCM16 — chunk-walked fmt/data parse + RMS/duration;
-- video: a length-delimited container of concatenated PPM frames
-  (synthetic but genuinely parsed; a real deployment swaps in
-  pyav/ffmpeg behind the same mapInPandas contract).
+- video: concatenated-PPM containers AND motion-JPEG (concatenated
+  standalone baseline JPEGs — each sampled frame is a real codec
+  stream); MP4/inter-frame codecs need pyav/ffmpeg behind the same
+  mapInPandas contract.
 
 ``gen_media`` emits valid payloads in exactly these formats, so the
 default (non-fake) path decodes real bytes end-to-end. ``fake=True``
@@ -119,6 +120,26 @@ def build_frame_container(media_id: int, seed: int, width: int, height: int,
                     for i in range(n_frames))
 
 
+def build_mjpeg_container(media_id: int, seed: int, width: int, height: int,
+                          n_frames: int, quality: int = 90) -> bytes:
+    """Motion-JPEG: concatenated standalone baseline JPEGs (the RFC
+    2435 / AVI-MJPG shape) — every frame is a REAL codec stream, so the
+    video path exercises marker walking, huffman decode, and IDCT, not
+    just container arithmetic."""
+    import numpy as np
+
+    from logstash_integration_jdbc_spark.functions.jpeg import encode_jpeg
+
+    out = []
+    for i in range(n_frames):
+        px = np.frombuffer(
+            _pixel_bytes(media_id, seed, width * height * 3, salt=i),
+            dtype=np.uint8,
+        ).reshape(height, width, 3)
+        out.append(encode_jpeg(px, quality=quality))
+    return b"".join(out)
+
+
 def build_image_pixels(media_id: int, seed: int, width: int, height: int):
     """Deterministic (h, w, 3) uint8 pixel array (shared by generator
     and independent oracle twins)."""
@@ -129,7 +150,8 @@ def build_image_pixels(media_id: int, seed: int, width: int, height: int):
     ).reshape(height, width, 3)
 
 
-def build_payload(spec: dict, seed: int, image_format: str = "ppm") -> bytes:
+def build_payload(spec: dict, seed: int, image_format: str = "ppm",
+                  video_format: str = "ppm") -> bytes:
     if spec["kind"] == "image":
         if image_format == "png":
             return encode_png(build_image_pixels(
@@ -138,16 +160,24 @@ def build_payload(spec: dict, seed: int, image_format: str = "ppm") -> bytes:
     if spec["kind"] == "audio":
         n_samples = spec["sample_rate"] // 10  # 100 ms
         return build_wav(spec["media_id"], seed, spec["sample_rate"], n_samples)
+    if video_format == "mjpeg":
+        return build_mjpeg_container(spec["media_id"], seed, spec["width"],
+                                     spec["height"], spec["n_frames"])
     return build_frame_container(spec["media_id"], seed, spec["width"],
                                  spec["height"], spec["n_frames"])
 
 
 def gen_media(spark, n_rows: int = 100, seed: int = 42,
-              image_format: str = "ppm") -> DataFrame:
+              image_format: str = "ppm",
+              video_format: str = "ppm") -> DataFrame:
     """Deterministic media table with REAL payload bytes (PPM/WAV/frames;
-    ``image_format="png"`` emits images as real zlib-compressed PNGs)."""
+    ``image_format="png"`` emits images as real zlib-compressed PNGs;
+    ``video_format="mjpeg"`` emits videos as motion-JPEG — concatenated
+    real baseline JPEGs)."""
     if image_format not in ("ppm", "png"):
         raise ValueError(f"unsupported image_format {image_format!r}")
+    if video_format not in ("ppm", "mjpeg"):
+        raise ValueError(f"unsupported video_format {video_format!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -156,10 +186,13 @@ def gen_media(spark, n_rows: int = 100, seed: int = 42,
                 spec = _row_spec(int(mid), seed)
                 mime = ("image/png" if spec["kind"] == "image"
                         and image_format == "png" else _MIMES[spec["kind"]])
+                if spec["kind"] == "video" and video_format == "mjpeg":
+                    mime = "video/x-motion-jpeg"
                 rows.append({
                     "media_id": int(mid),
                     "kind": spec["kind"],
-                    "payload": build_payload(spec, seed, image_format),
+                    "payload": build_payload(spec, seed, image_format,
+                                             video_format),
                     "meta": {
                         "width": spec["width"], "height": spec["height"],
                         "sample_rate": spec["sample_rate"],
@@ -446,10 +479,12 @@ def sample_frames(df: DataFrame, every_n: int = 2, max_frames: int = 4,
                   fake: bool = False) -> DataFrame:
     """Frame-sample video payloads: one output row per sampled frame.
 
-    Real kernel: walks the concatenated-PPM container, emitting every
-    ``every_n``-th frame's bytes (a complete standalone PPM) up to
-    ``max_frames``. A production build swaps pyav/ffmpeg into the same
-    contract. Fake kernel: deterministic payload slices (plumbing only).
+    Real kernel: walks the container — concatenated-PPM or motion-JPEG
+    (sniffed by leading bytes: SOI ``FFD8`` → M-JPEG, else P6) —
+    emitting every ``every_n``-th frame's bytes (a complete standalone
+    PPM or JPEG) up to ``max_frames``. MP4 and other inter-frame codecs
+    need pyav/ffmpeg in the same contract. Fake kernel: deterministic
+    payload slices (plumbing only).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -465,6 +500,21 @@ def sample_frames(df: DataFrame, every_n: int = 2, max_frames: int = 4,
                         rows["frame_bytes"].append(bytes(chunk))
                     continue
                 b = bytes(payload)
+                if b[:2] == b"\xFF\xD8":  # motion-JPEG
+                    from logstash_integration_jdbc_spark.functions.jpeg import (
+                        split_jpeg_frames,
+                    )
+
+                    taken = 0
+                    for idx, (start, end) in enumerate(split_jpeg_frames(b)):
+                        if taken >= max_frames:
+                            break
+                        if idx % every_n == 0:
+                            rows["media_id"].append(mid)
+                            rows["frame_idx"].append(idx)
+                            rows["frame_bytes"].append(b[start:end])
+                            taken += 1
+                    continue
                 offset, idx, taken = 0, 0, 0
                 while offset < len(b) and taken < max_frames:
                     _w, _h, _start, end = parse_ppm(b, offset)

@@ -101,6 +101,50 @@ def test_frame_sampling_real_container(media):
         assert r.frame_idx % 2 == 0
 
 
+def test_frame_sampling_mjpeg_container(spark):
+    """Motion-JPEG: every sampled frame is a complete standalone
+    baseline JPEG that the real decoder accepts with the spec'd
+    dimensions and frame order."""
+    from logstash_integration_jdbc_spark.functions.jpeg import parse_jpeg
+    from logstash_integration_jdbc_spark.operators.multimodal import gen_media
+
+    mediam = gen_media(spark, n_rows=40, video_format="mjpeg")
+    vids = mediam.filter(F.col("kind") == "video")
+    metas = {r.media_id: r.meta for r in vids.collect()}
+    assert metas and all(m["mime"] == "video/x-motion-jpeg" for m in metas.values())
+
+    rows = sample_frames(mediam, every_n=2, max_frames=3, fake=False).collect()
+    assert {r.media_id for r in rows} == set(metas)
+    for r in rows:
+        w, h, px = parse_jpeg(bytes(r.frame_bytes))
+        assert (w, h) == (metas[r.media_id]["width"], metas[r.media_id]["height"])
+        assert px.shape == (h, w, 3)
+        assert r.frame_idx % 2 == 0
+
+
+def test_split_jpeg_frames_roundtrip():
+    import numpy as np
+
+    from logstash_integration_jdbc_spark.functions.jpeg import (
+        encode_jpeg,
+        split_jpeg_frames,
+    )
+    from logstash_integration_jdbc_spark.operators.multimodal import (
+        build_mjpeg_container,
+    )
+
+    blob = build_mjpeg_container(7, 42, 24, 18, n_frames=4)
+    spans = split_jpeg_frames(blob)
+    assert len(spans) == 4
+    assert spans[0][0] == 0 and spans[-1][1] == len(blob)
+    assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+    # restart-marker frames split correctly too (RSTn inside entropy data)
+    px = np.random.RandomState(3).randint(0, 256, (32, 40, 3), dtype=np.uint8)
+    f = encode_jpeg(px, quality=90, restart_interval=2)
+    two = f + f
+    assert split_jpeg_frames(two) == [(0, len(f)), (len(f), 2 * len(f))]
+
+
 def test_frame_sampling_explodes_rows(media):
     frames = sample_frames(media, every_n=30, max_frames=4, fake=True)
     rows = frames.collect()
