@@ -120,6 +120,69 @@ def run_pipeline_bench(spark, n_rows: int, warm: bool = True,
             "wall_sec_median": sorted(walls)[len(walls) // 2], "reps": len(walls)}
 
 
+MEDIA_ROWS = int(os.environ.get("SPARK_GRAFT_MEDIA_ROWS", "3000"))
+
+
+def _media_input(spark, fmt: str, n_rows: int) -> str:
+    """Materialize a media table once per (format, size): decode timing
+    must not include fixture generation (JPEG/PNG encode costs as much
+    as decode)."""
+    base = os.path.join(tempfile.gettempdir(), f"ljspark-media-{fmt}-{n_rows}")
+    marker = os.path.join(base, "_DONE")
+    if not os.path.exists(marker):
+        from logstash_integration_jdbc_spark.operators.multimodal import gen_media
+
+        kw = ({"video_format": "mjpeg"} if fmt == "mjpeg"
+              else {"image_format": fmt})
+        gen_media(spark, n_rows=n_rows, **kw).write.mode("overwrite").parquet(
+            os.path.join(base, "media.parquet"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return os.path.join(base, "media.parquet")
+
+
+def run_media_decode_bench(spark, n_rows: int = MEDIA_ROWS,
+                           reps: int = BENCH_REPS) -> dict:
+    """Decode throughput of the pure-stdlib media codecs through the
+    real mapInPandas kernels (VERDICT r3 ask: make the Pillow-swap gap
+    a number). Reports per-format wall, items/s, and payload MB/s —
+    min-of-k like every other bench entry."""
+    from pyspark.sql import functions as F
+
+    from logstash_integration_jdbc_spark.operators.multimodal import (
+        extract_image_features,
+        sample_frames,
+    )
+
+    out = {}
+    for fmt in ("ppm", "png", "jpeg", "mjpeg"):
+        path = _media_input(spark, fmt, n_rows)
+        df = spark.read.parquet(path)
+        kind = "video" if fmt == "mjpeg" else "image"
+        stats = df.filter(F.col("kind") == kind).agg(
+            F.count(F.lit(1)), F.sum(F.length("payload"))).first()
+        n_items, n_bytes = int(stats[0]), int(stats[1])
+        walls = []
+        for _ in range(max(reps, 1)):
+            t0 = time.time()
+            if fmt == "mjpeg":
+                # carve every frame from every container (the decode of
+                # each carved frame is the jpeg row's number)
+                sample_frames(df, every_n=1, max_frames=10**6).count()
+            else:
+                extract_image_features(df, dim=4).count()
+            walls.append(time.time() - t0)
+        wall = min(walls)
+        out[fmt] = {
+            "wall_sec": round(wall, 3),
+            "items": n_items,
+            "items_per_sec": round(n_items / wall, 1),
+            "payload_mb": round(n_bytes / 1e6, 2),
+            "mb_per_sec": round(n_bytes / 1e6 / wall, 2),
+        }
+    return out
+
+
 def main_bench() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -162,6 +225,8 @@ def main_bench() -> None:
                                 reps=BENCH_8M_REPS)
     per_query["pipeline_e2e_8m"] = round(pipe8m["wall_sec"], 3)
 
+    media = run_media_decode_bench(spark)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "headline_suite_wall",
@@ -175,6 +240,7 @@ def main_bench() -> None:
         "pipeline_turns_per_sec": round(pipe["turns_per_sec"], 1),
         "pipeline_8m_rows": pipe8m["rows"],
         "pipeline_8m_turns_per_sec": round(pipe8m["turns_per_sec"], 1),
+        "media_decode": media,
         "cpus": int(cpus),
     }))
 

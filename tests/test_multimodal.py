@@ -313,6 +313,14 @@ class TestPngCodec:
         for filters in ([1], [2], [3], [4], [0, 1, 2, 3, 4]):
             _w, _h, got = parse_png(self._filtered_png(px, filters))
             assert np.array_equal(got, px), f"filters {filters}"
+        # gray (scalar path) and RGBA (lane path, 4 lanes) too
+        for ch in (1, 4):
+            pxc = rng.randint(0, 256, size=(9, 6, ch), dtype=np.uint8)
+            for filters in ([3], [4], [0, 1, 2, 3, 4]):
+                _w, _h, got = parse_png(self._filtered_png(pxc, filters))
+                want = (np.repeat(pxc, 3, axis=2) if ch == 1
+                        else pxc[:, :, :3])
+                assert np.array_equal(got, want), f"ch {ch} filters {filters}"
 
     def test_gray_and_rgba_normalize_to_rgb(self):
         import numpy as np
