@@ -686,6 +686,24 @@ def _q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def _q_ann_ivf_lloyd_topk(spark, sf_dir):
+    # IVF with 2 Lloyd refinement iterations (VERDICT r3 ask): the
+    # oracle recomputes the refined centroids with an INDEPENDENT
+    # numpy Lloyd twin (assign = cosine argmax, tie → smallest id;
+    # update = element-wise raw-vector mean) and replays assignment +
+    # probing + exact ranking in SQL over those literal centroids.
+    from logstash_integration_jdbc_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).selectExpr("vec_id as query_id", "embedding")
+    return ivf_topk(emb, queries, k=10, n_centroids=8, n_probe=4,
+                    kmeans_iters=2).select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cos4")
+    )
+
+
 def _q_ann_lsh_topk(spark, sf_dir):
     # sign-LSH blocked approximate top-k; the oracle replicates the
     # 16-bit hyperplane sketch + 4-bit-block candidate join + exact
@@ -1166,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_norm": _q_dedup_exact_norm,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_ivf_lloyd_topk": _q_ann_ivf_lloyd_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dups_scalable": _q_embedding_near_dups_scalable,
@@ -1783,6 +1802,79 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
         ) WHERE rn <= 10
     """
+    # Lloyd-refined IVF: centroids recomputed by an independent numpy
+    # Lloyd twin, inlined as literals; the rest of the SQL is the same
+    # assignment/probe/rank replay as ann_ivf_topk.
+    def _build_ivf_lloyd_sql() -> str:
+        import duckdb as _dk
+        import numpy as _np3
+
+        rows = _dk.sql(
+            "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) "
+            f"FROM read_parquet('{_ORACLE_SF_DIR}/embeddings.parquet') "
+            "ORDER BY vec_id"
+        ).fetchall()
+        ids = [r[0] for r in rows]
+        V = _np3.array([r[1] for r in rows], dtype=_np3.float64)
+        C = V[:8].copy()
+        for _ in range(2):
+            sims = (V @ C.T) / (
+                _np3.linalg.norm(V, axis=1, keepdims=True)
+                * _np3.linalg.norm(C, axis=1)[None, :])
+            best = _np3.argmax(sims, axis=1)  # first max ≡ smallest id
+            C = _np3.array([
+                V[best == c].mean(axis=0) if (best == c).any() else C[c]
+                for c in range(8)
+            ])
+        cl = ", ".join(
+            "({}, [{}])".format(ids[c], ", ".join(repr(float(x)) for x in C[c]))
+            for c in range(8)
+        )
+        return """
+        WITH e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), cents AS (
+            SELECT centroid_id, cv FROM (VALUES {CL}) t(centroid_id, cv)
+        ), assigned AS (
+            SELECT vec_id, v, centroid_id FROM (
+                SELECT e.vec_id, e.v, c.centroid_id,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.cv[i]))
+                           / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+                              * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) DESC,
+                           c.centroid_id ASC) AS rn
+                FROM e CROSS JOIN cents c
+            ) WHERE rn = 1
+        ), qs AS (
+            SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5
+        ), probes AS (
+            SELECT query_id, centroid_id, qv FROM (
+                SELECT q.query_id, c.centroid_id, q.qv,
+                       row_number() OVER (PARTITION BY q.query_id ORDER BY
+                           list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.cv[i]))
+                           / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+                              * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) DESC,
+                           c.centroid_id ASC) AS rn
+                FROM qs q CROSS JOIN cents c
+            ) WHERE rn <= 4
+        ), scored AS (
+            SELECT p.query_id, a.vec_id,
+                   list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * p.qv[i]))
+                   / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(p.qv, x -> x * x)))) AS cosine
+            FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+            WHERE a.vec_id <> p.query_id
+        )
+        SELECT query_id, vec_id, round(cosine, 4) AS cos4 FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, vec_id ASC) AS rn
+            FROM scored
+        ) WHERE rn <= 10
+        """.replace("{CL}", cl)
+
+    q["ann_ivf_lloyd_topk"] = _value_oracle("ann_ivf_lloyd_topk",
+                                            _build_ivf_lloyd_sql)
     # ANN LSH oracle: the 16-bit sketch rebuilt in SQL from the same
     # deterministic plane coefficients (similarity._plane_coeff).
     from logstash_integration_jdbc_spark.operators.similarity import _plane_coeff
