@@ -183,6 +183,74 @@ def run_media_decode_bench(spark, n_rows: int = MEDIA_ROWS,
     return out
 
 
+MINHASH_ROWS = int(os.environ.get("SPARK_GRAFT_MINHASH_ROWS", "1000000"))
+MINHASH_8M_ROWS = int(os.environ.get("SPARK_GRAFT_MINHASH_8M_ROWS", "8000000"))
+MINHASH_8M_REPS = int(os.environ.get("SPARK_GRAFT_MINHASH_8M_REPS", "1"))
+
+
+def _docs_input(spark, n_rows: int) -> str:
+    """Materialize the controlled-near-dup document corpus once per size
+    (2% near-dups over a 50k vocabulary — template transcript text is
+    pathological LSH input: exact-copy buckets go O(B²))."""
+    base = os.path.join(tempfile.gettempdir(), f"ljspark-docs-{n_rows}")
+    marker = os.path.join(base, "_DONE")
+    if not os.path.exists(marker):
+        from logstash_integration_jdbc_spark.sources.generator import gen_docs
+
+        gen_docs(spark, n_rows=n_rows).write.mode("overwrite").parquet(
+            os.path.join(base, "documents.parquet"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return os.path.join(base, "documents.parquet")
+
+
+def run_minhash_bench(spark, n_rows: int = MINHASH_ROWS,
+                      reps: int = BENCH_REPS) -> dict:
+    """MinHash+LSH near-dup at volume (VERDICT r3 ask #6): wall, docs/s,
+    verified-pair count, and the band bucket-size histogram (the O(B²)
+    degenerate-bucket risk only shows at volume — the histogram makes it
+    observable)."""
+    from pyspark.sql import functions as F
+
+    from logstash_integration_jdbc_spark.operators.dedup import (
+        minhash_band_buckets,
+        minhash_lsh_candidates,
+    )
+
+    docs = spark.read.parquet(_docs_input(spark, n_rows))
+    walls, pairs = [], 0
+    for _ in range(max(reps, 1)):
+        # the operator persists its candidate set and Spark's cache
+        # manager matches by logical plan — without this, rep 2+ would
+        # time a cache hit, not the pipeline
+        spark.catalog.clearCache()
+        t0 = time.time()
+        pairs = minhash_lsh_candidates(docs, num_hashes=64, bands=16).filter(
+            F.col("jaccard") >= 0.8).count()
+        walls.append(time.time() - t0)
+    wall = min(walls)
+
+    sizes = (minhash_band_buckets(docs, num_hashes=64, bands=16)
+             .groupBy("__band", "__bucket").count())
+    hist_rows = sizes.select(
+        F.when(F.col("count") == 1, "1")
+        .when(F.col("count") == 2, "2")
+        .when(F.col("count") <= 10, "3-10")
+        .when(F.col("count") <= 100, "11-100")
+        .otherwise(">100").alias("bin")
+    ).groupBy("bin").count().collect()
+    max_bucket = sizes.agg(F.max("count")).first()[0]
+    return {
+        "wall_sec": round(wall, 3),
+        "wall_sec_median": round(sorted(walls)[len(walls) // 2], 3),
+        "rows": n_rows,
+        "docs_per_sec": round(n_rows / wall, 1),
+        "verified_pairs": pairs,
+        "bucket_hist": {r["bin"]: r["count"] for r in hist_rows},
+        "max_bucket": int(max_bucket),
+    }
+
+
 def main_bench() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -227,6 +295,13 @@ def main_bench() -> None:
 
     media = run_media_decode_bench(spark)
 
+    mh = run_minhash_bench(spark)
+    per_query["dedup_minhash_1m"] = mh["wall_sec"]
+    # amortized regime (JVM/Arrow workers hot from the 1M reps)
+    mh8m = run_minhash_bench(spark, n_rows=MINHASH_8M_ROWS,
+                             reps=MINHASH_8M_REPS)
+    per_query["dedup_minhash_8m"] = mh8m["wall_sec"]
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "headline_suite_wall",
@@ -241,6 +316,8 @@ def main_bench() -> None:
         "pipeline_8m_rows": pipe8m["rows"],
         "pipeline_8m_turns_per_sec": round(pipe8m["turns_per_sec"], 1),
         "media_decode": media,
+        "minhash_1m": mh,
+        "minhash_8m": mh8m,
         "cpus": int(cpus),
     }))
 

@@ -99,6 +99,11 @@ def shingle_hashes(text_col: Column, n: int = 3) -> Column:
     """Distinct 64-bit hashes of word n-gram shingles (JVM-side).
 
     words → sliding n-grams (concat_ws of slices) → xxhash64 → distinct.
+    Semantic reference form; the minhash pipeline uses the staged
+    ``token_hashes`` + ``gram_hashes`` pair below, measured ~8× faster
+    (higher-order functions evaluate interpreted, and slice+concat_ws
+    re-copies O(n) strings per gram where the staged form combines three
+    already-computed int64 token hashes).
     """
     words = F.split(F.trim(F.lower(text_col)), r"\s+")
     k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
@@ -107,6 +112,36 @@ def shingle_hashes(text_col: Column, n: int = 3) -> Column:
         lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, n))),
     )
     # fewer than n words → fall back to hashing the whole text as one shingle
+    grams = F.when(k > 0, grams).otherwise(F.array(F.xxhash64(text_col)))
+    return F.array_distinct(grams)
+
+
+def token_hashes(text_col: Column) -> Column:
+    """xxhash64 per whitespace token (same tokenization as
+    ``shingle_hashes``)."""
+    return F.transform(
+        F.split(F.trim(F.lower(text_col)), r"\s+"), lambda w: F.xxhash64(w)
+    )
+
+
+def gram_hashes(th_col: Column, text_col: Column, n: int = 3) -> Column:
+    """n-gram shingle hashes from PRE-MATERIALIZED token hashes:
+    gram hash = xxhash64 over the n consecutive token hashes.
+
+    Hash values differ from ``shingle_hashes`` (hash-of-hashes vs
+    hash-of-string), but every shingle-SET relation (equality, jaccard)
+    is preserved modulo 64-bit collisions — which is all minhash/LSH
+    consumes. ``th_col`` MUST reference a materialized column (a prior
+    select/withColumn), not an inline expression: interpreted
+    higher-order evaluation would recompute the token-hash array once
+    per element, turning O(words) into O(words²).
+    """
+    k = F.greatest(F.size(th_col) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.xxhash64(*[F.element_at(th_col, i + F.lit(j))
+                               for j in range(n)]),
+    )
     grams = F.when(k > 0, grams).otherwise(F.array(F.xxhash64(text_col)))
     return F.array_distinct(grams)
 
@@ -191,6 +226,62 @@ def minhash_signature_udf(num_hashes: int = 64):
     return _sig
 
 
+def _spread(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Null-safe (id, text) projection spread across all cores — the
+    shingle/signature stages must not run in the source's 1-2
+    file-partitions (measured ~70% slower at sf0.1)."""
+    return df.select(
+        F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+
+
+def _shingled(src: DataFrame, id_col: str, text_col: str,
+              n_shingle: int) -> DataFrame:
+    """(id, __sh) via the staged token-hash → gram-hash form (~8× faster
+    than the reference shingle_hashes; see gram_hashes docstring). The
+    intermediate select MATERIALIZES __th — required, not style."""
+    return (
+        src.select(F.col(id_col), F.col(text_col),
+                   token_hashes(F.col(text_col)).alias("__th"))
+        .select(F.col(id_col),
+                gram_hashes(F.col("__th"), F.col(text_col),
+                            n_shingle).alias("__sh"))
+    )
+
+
+def minhash_band_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shingle: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """(id, __band, __bucket) LSH band keys — one row per (doc, band).
+
+    The building block of ``minhash_lsh_candidates``; public so
+    diagnostics (e.g. the bench's bucket-size histogram, the first thing
+    to inspect when a corpus degenerates the banding) can reuse the
+    exact production lineage.
+    """
+    rows_per_band = num_hashes // bands
+    base = _shingled(_spread(df, id_col, text_col), id_col, text_col,
+                     n_shingle).withColumn(
+        "__sig", minhash_signature_udf(num_hashes)(F.col("__sh")))
+    return base.select(
+        id_col,
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(F.concat_ws(",", *[
+                    F.col("__sig")[b * rows_per_band + r].cast("string")
+                    for r in range(rows_per_band)
+                ]))
+                for b in range(bands)
+            ])
+        ).alias("__band", "__bucket"),
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -206,34 +297,12 @@ def minhash_lsh_candidates(
     jaccard verified (so downstream filters by threshold; no false
     positives survive).
     """
-    rows_per_band = num_hashes // bands
-    # Shingle hashing stays JVM-side (split + xxhash64); the signature is
-    # the CPU hot spot and runs as a numpy-vectorized Arrow UDF. Spread
-    # across all cores even when the input is one small file. The verify
-    # branch below reuses the SAME spread lineage deliberately: skipping
-    # its exchange was measured ~70% SLOWER at sf0.1 (shingling then runs
-    # in the source's 1-2 file-partitions instead of 32 tasks) — the
-    # exchange buys parallelism, not waste.
-    spread = df.select(
-        F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
-    ).repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
-    base = spread.select(
-        F.col(id_col),
-        shingle_hashes(F.col(text_col), n_shingle).alias("__sh"),
-    ).withColumn("__sig", minhash_signature_udf(num_hashes)(F.col("__sh")))
-
-    band_keys = base.select(
-        id_col,
-        F.posexplode(
-            F.array(*[
-                F.xxhash64(F.concat_ws(",", *[
-                    F.col("__sig")[b * rows_per_band + r].cast("string")
-                    for r in range(rows_per_band)
-                ]))
-                for b in range(bands)
-            ])
-        ).alias("__band", "__bucket"),
-    )
+    # Shingle hashing stays JVM-side (staged token/gram xxhash64); the
+    # signature is the CPU hot spot and runs as a numpy-vectorized Arrow
+    # UDF — both inside minhash_band_buckets.
+    spread = _spread(df, id_col, text_col)
+    band_keys = minhash_band_buckets(df, id_col, text_col, n_shingle,
+                                     num_hashes, bands)
     # Pair generation: group ids per (band, bucket) and emit ordered pairs
     # from each bucket's id list. One shuffle on the bucket key, signature
     # computed exactly once (vs a self-join recomputing both sides). At
@@ -249,8 +318,21 @@ def minhash_lsh_candidates(
             F.explode(F.expr("slice(__ids, __i + 2, size(__ids))")).alias("id_b"),
         )
         .distinct()
+        # persisted: the candidate PAIR set is small by design (bounded
+        # by the banding precision) and feeds two branches below — the
+        # id-prune and the verify join — which would otherwise recompute
+        # the whole shingle+signature+band pipeline once each.
+        .persist()
     )
-    sh = base.select(F.col(id_col), F.col("__sh"))
+    # Verify only the docs that appear in some candidate pair: shingling
+    # is the measured hot spot (interpreted higher-order exprs), and
+    # re-shingling the FULL corpus twice for the two verify joins cost
+    # more than the band pipeline itself (~2×12 s of a 41 s total at 1M
+    # docs, local[32]). The prune makes verify cost proportional to the
+    # candidate set, not the corpus.
+    pair_ids = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct()
+    sh = _shingled(spread.join(pair_ids, id_col), id_col, text_col, n_shingle)
     return (
         cand.join(sh.withColumnsRenamed({id_col: "id_a", "__sh": "__sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "__sh": "__sh_b"}), "id_b")

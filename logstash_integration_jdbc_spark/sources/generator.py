@@ -134,6 +134,51 @@ def gen_transcripts(
     )
 
 
+def gen_docs(
+    spark: SparkSession,
+    n_rows: int = 1_000_000,
+    seed: int = 42,
+    n_tokens: int = 25,
+    vocab: int = 50_000,
+    dup_every: int = 50,
+) -> DataFrame:
+    """Deterministic document corpus with CONTROLLED near-dup structure
+    (for dedup benchmarks at volume — template-generated transcript text
+    is pathological LSH input: thousands of exact copies per bucket turn
+    the band join O(B²)).
+
+    Every ``dup_every``-th row (id % dup_every == 1) is a near-duplicate
+    of the previous id — same token stream except the last token — so a
+    trigram minhash at 8M rows sees ~2% true near-dups (jaccard ≈
+    (n_tokens-3)/n_tokens-ish) and everything else effectively unique
+    over a ``vocab``-word vocabulary. All JVM-side expressions: no
+    Python in the generator.
+    """
+    base = spark.range(n_rows)
+    is_dup = (F.col("id") % dup_every == 1) & (F.col("id") > 0)
+    src = F.when(is_dup, F.col("id") - 1).otherwise(F.col("id"))
+    toks = [
+        F.concat(
+            F.lit("w"),
+            (F.abs(F.xxhash64(src, F.lit(seed), F.lit(k))) % vocab).cast("string"),
+        )
+        for k in range(n_tokens - 1)
+    ]
+    last = F.when(
+        is_dup,
+        F.concat(F.lit("m"),
+                 (F.abs(F.xxhash64(F.col("id"), F.lit(seed), F.lit(-1)))
+                  % vocab).cast("string")),
+    ).otherwise(
+        F.concat(F.lit("w"),
+                 (F.abs(F.xxhash64(src, F.lit(seed), F.lit(n_tokens - 1)))
+                  % vocab).cast("string")))
+    return base.select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *toks, last).alias("text"),
+    )
+
+
 def gen_tool_dim(spark: SparkSession) -> DataFrame:
     """Tool metadata dimension (KNOWN_TOOLS only — unknown tools miss)."""
     cats = {

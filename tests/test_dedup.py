@@ -271,3 +271,46 @@ def test_exact_dedup_normalized_collapses_reformatted_copies(spark):
     norm = {r.doc_id for r in exact_dedup_normalized(df).collect()}
     assert plain == {1, 2, 3, 4, 5}   # byte-distinct → sha2 keeps all
     assert norm == {1, 4, 5}          # 1≡2≡3 under normalization, min id wins
+
+
+def test_gram_hashes_preserve_shingle_set_relations(spark):
+    """The staged token/gram hash form must induce the same shingle-SET
+    structure as the reference shingle_hashes: equal set sizes per doc
+    and equal pairwise intersection sizes (what jaccard consumes)."""
+    from itertools import combinations
+
+    from logstash_integration_jdbc_spark.operators.dedup import (
+        gram_hashes,
+        shingle_hashes,
+        token_hashes,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(30)
+    ref = {r.doc_id: set(r.s) for r in docs.select(
+        "doc_id", shingle_hashes(F.col("text")).alias("s")).collect()}
+    fast = {r.doc_id: set(r.s) for r in docs.select(
+        "doc_id", "text", token_hashes(F.col("text")).alias("th"))
+        .select("doc_id", gram_hashes(F.col("th"), F.col("text")).alias("s"))
+        .collect()}
+    assert set(ref) == set(fast)
+    for d in ref:
+        assert len(ref[d]) == len(fast[d])
+    for a, b in combinations(sorted(ref), 2):
+        assert len(ref[a] & ref[b]) == len(fast[a] & fast[b])
+
+
+def test_minhash_band_buckets_shape(docs):
+    from logstash_integration_jdbc_spark.operators.dedup import (
+        minhash_band_buckets,
+    )
+
+    bk = minhash_band_buckets(docs, num_hashes=64, bands=16)
+    assert bk.columns == ["doc_id", "__band", "__bucket"]
+    n_docs = docs.count()
+    assert bk.count() == n_docs * 16
+    # exact duplicates share every band bucket
+    rows = bk.filter(F.col("doc_id").isin(0, 1)).collect()
+    by_band: dict = {}
+    for r in rows:
+        by_band.setdefault(r["__band"], set()).add(r["__bucket"])
+    assert all(len(v) == 1 for v in by_band.values())
