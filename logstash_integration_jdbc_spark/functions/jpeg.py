@@ -129,50 +129,76 @@ def _huff_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int,
     return {v: k for k, v in _huff_decode_table(bits, vals).items()}
 
 
+def _huff_lut(bits: list[int], vals: list[int]) -> tuple[list[int], list[int]]:
+    """(sym, len) 65536-entry PYTHON-LIST LUTs: any 16-bit peek whose
+    prefix is a canonical code of length l maps every suffix to the
+    same (symbol, l), so a symbol decodes in two list lookups instead
+    of a bit-by-bit table walk. len 0 marks an invalid prefix. Lists,
+    not numpy: per-element numpy indexing costs ~5× a list index in the
+    hot loop (same measurement as the PNG filter rewrite)."""
+    sym = np.zeros(65536, dtype=np.int64)
+    ln = np.zeros(65536, dtype=np.int64)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            lo = code << (16 - length)
+            sym[lo : lo + (1 << (16 - length))] = vals[k]
+            ln[lo : lo + (1 << (16 - length))] = length
+            code += 1
+            k += 1
+        code <<= 1
+    return sym.tolist(), ln.tolist()
+
+
 class _BitReader:
-    """MSB-first bit reader over entropy-coded data with 0xFF00
-    byte-unstuffing; restart markers are handled by the caller (the
-    scan splits on them before reading)."""
+    """MSB-first reader over entropy-coded data.
+
+    The 0xFF00 byte-stuffing is undone ONCE up front (a segment handed
+    to the reader contains no markers — the caller splits restart
+    markers out and stops at the first true marker, so every interior
+    0xFF is stuffed). Bytes live in a Python LIST; each huffman symbol
+    is a 3-byte 16-bit peek + two list-LUT lookups and each value-bit
+    field a 3-byte compose — measured ~2× the previous per-bit loop
+    (BASELINE.md; a numpy-LUT + int.from_bytes variant measured 2.4×
+    SLOWER than per-bit — per-element numpy/slice overhead again)."""
 
     def __init__(self, data: bytes) -> None:
-        self.data = data
+        # +2 padding bytes so a 16-bit peek near the end never reads
+        # short; nbits still bounds every consume
+        raw = data.replace(b"\xFF\x00", b"\xFF")
+        self.nbits = len(raw) * 8
+        self.b = list(raw + b"\x00\x00")
         self.pos = 0
-        self.bit = 0
-
-    def read_bit(self) -> int:
-        while True:
-            if self.pos >= len(self.data):
-                raise ValueError("JPEG entropy data exhausted")
-            byte = self.data[self.pos]
-            if byte == 0xFF:
-                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
-                if nxt == 0x00:
-                    pass  # stuffed 0xFF — consume normally, skip the 0x00 below
-                else:
-                    raise ValueError("unexpected marker in entropy data")
-            b = (byte >> (7 - self.bit)) & 1
-            self.bit += 1
-            if self.bit == 8:
-                self.bit = 0
-                self.pos += 1
-                if byte == 0xFF:
-                    self.pos += 1  # skip the stuffed 0x00
-            return b
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        p = self.pos
+        if p + n > self.nbits:
+            raise ValueError("JPEG entropy data exhausted")
+        b = self.b
+        i = p >> 3
+        off = p & 7
+        # JPEG value fields are ≤16 bits → 3 bytes always cover off+n
+        v = (b[i] << 16) | (b[i + 1] << 8) | b[i + 2]
+        self.pos = p + n
+        return (v >> (24 - off - n)) & ((1 << n) - 1)
 
-    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for ln in range(1, 17):
-            code = (code << 1) | self.read_bit()
-            sym = table.get((ln, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid huffman code in JPEG stream")
+    def read_symbol(self, table: tuple[list[int], list[int]]) -> int:
+        sym_lut, len_lut = table
+        p = self.pos
+        b = self.b
+        i = p >> 3
+        peek = (((b[i] << 16) | (b[i + 1] << 8) | b[i + 2])
+                >> (8 - (p & 7))) & 0xFFFF
+        length = len_lut[peek]
+        if length == 0:
+            raise ValueError("invalid huffman code in JPEG stream")
+        if p + length > self.nbits:
+            raise ValueError("JPEG entropy data exhausted")
+        self.pos = p + length
+        return sym_lut[peek]
 
 
 def _extend(v: int, t: int) -> int:
@@ -245,7 +271,7 @@ def parse_jpeg(payload: bytes):
                 bits = list(body[i + 1 : i + 17])
                 nv = sum(bits)
                 vals = list(body[i + 17 : i + 17 + nv])
-                (huff_dc if tc == 0 else huff_ac)[th] = _huff_decode_table(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = _huff_lut(bits, vals)
                 i += 17 + nv
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
@@ -301,6 +327,13 @@ def parse_jpeg(payload: bytes):
 
     mcu_index = 0
     total_mcus = mcus_x * mcus_y
+    # Entropy decode collects plain-list coefficient rows per component;
+    # dequantize + de-zigzag + IDCT then run BATCHED over all blocks
+    # (one einsum per component instead of two 8×8 matmuls + three numpy
+    # allocs per block — the per-block numpy fixed costs dominated the
+    # profile once the huffman path went LUT).
+    coef_rows: list[list[list[int]]] = [[] for _ in comps]
+    block_pos: list[list[tuple[int, int]]] = [[] for _ in comps]
     for seg in segments:
         reader = _BitReader(seg)
         pred = [0] * len(comps)
@@ -309,35 +342,43 @@ def parse_jpeg(payload: bytes):
             my, mx = divmod(mcu_index, mcus_x)
             for ci, comp in enumerate(comps):
                 dct_t, act_t = sel[comp["id"]]
+                dc_tab, ac_tab = huff_dc[dct_t], huff_ac[act_t]
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
-                        t = reader.read_symbol(huff_dc[dct_t])
+                        t = reader.read_symbol(dc_tab)
                         diff = _extend(reader.read_bits(t), t)
                         pred[ci] += diff
-                        coef = np.zeros(64, dtype=np.int64)
+                        coef = [0] * 64
                         coef[0] = pred[ci]
                         k = 1
                         while k < 64:
-                            rs = reader.read_symbol(huff_ac[act_t])
-                            r, s = rs >> 4, rs & 0xF
+                            rs = reader.read_symbol(ac_tab)
                             if rs == 0x00:  # EOB
                                 break
                             if rs == 0xF0:  # ZRL
                                 k += 16
                                 continue
-                            k += r
+                            k += rs >> 4
                             if k > 63:
                                 raise ValueError("AC index overflow")
+                            s = rs & 0xF
                             coef[k] = _extend(reader.read_bits(s), s)
                             k += 1
-                        dq = coef * qt[comp["tq"]]
-                        block = np.zeros(64, dtype=np.float64)
-                        block[ZIGZAG] = dq
-                        px = _C.T @ block.reshape(8, 8) @ _C + 128.0
-                        y0 = (my * comp["v"] + by) * 8
-                        x0 = (mx * comp["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+                        coef_rows[ci].append(coef)
+                        block_pos[ci].append(
+                            ((my * comp["v"] + by) * 8, (mx * comp["h"] + bx) * 8))
             mcu_index += 1
+
+    for ci, comp in enumerate(comps):
+        if not coef_rows[ci]:
+            continue
+        zz = np.asarray(coef_rows[ci], dtype=np.int64) * qt[comp["tq"]][None, :]
+        nat = np.zeros((zz.shape[0], 64), dtype=np.float64)
+        nat[:, ZIGZAG] = zz
+        px = np.einsum("ij,njk,kl->nil", _C.T, nat.reshape(-1, 8, 8), _C) + 128.0
+        plane = planes[ci]
+        for (y0, x0), blk in zip(block_pos[ci], px):
+            plane[y0 : y0 + 8, x0 : x0 + 8] = blk
 
     w, h = frame["w"], frame["h"]
     out_planes = []
