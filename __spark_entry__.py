@@ -586,6 +586,32 @@ def _q_text_repetition(spark, sf_dir):
     return repetition_ratio(docs, n=2).select("doc_id", "rep_ratio")
 
 
+def _q_redact_pii(spark, sf_dir):
+    # PII scrubbing over documents with deterministic injected PII
+    # (email/IP/card/phone per doc_id); the DuckDB oracle replays the
+    # same RE2-compatible pattern chain on the same constructed text —
+    # md5 + length of the redacted output must agree exactly.
+    from logstash_integration_jdbc_spark.operators.textstats import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.col("text"),
+            F.concat(F.lit("user"), F.col("doc_id").cast("string"),
+                     F.lit("@example.com")),
+            F.concat(F.lit("10.0."), (F.col("doc_id") % 256).cast("string"),
+                     F.lit(".7")),
+            F.concat(F.lit("+1 555 867 530"),
+                     (F.col("doc_id") % 10).cast("string")),
+            F.lit("4111111111111111"),
+        ).alias("text"),
+    )
+    return redact_pii(seeded).select(
+        "doc_id", F.md5("text_redacted").alias("red_md5"),
+        F.length("text_redacted").cast("int").alias("red_len"))
+
+
 def _q_dedup_minhash(spark, sf_dir):
     # 64 hashes / 16 bands (r=4): for the ≥0.9-jaccard near-dup pairs the
     # corpus contains, miss probability is (1-0.9^4)^16 ≈ 4e-8 — exact vs
@@ -1181,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _q_langid,
         "text_fingerprint": _q_fingerprint,
         "text_repetition": _q_text_repetition,
+        "text_redact_pii": _q_redact_pii,
         "dedup_exact_norm": _q_dedup_exact_norm,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -1613,6 +1640,21 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 0.0 END, 6) AS rep_ratio
         FROM tok
     """
+    # PII redaction: the oracle replays the OPERATOR's pattern list
+    # (imported, so the two can never drift) with DuckDB's RE2 engine
+    # over the identically-constructed seeded text.
+    from logstash_integration_jdbc_spark.operators.textstats import PII_PATTERNS
+
+    _red = ("text || ' user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+            " || ' 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+            " || ' +1 555 867 530' || CAST(doc_id % 10 AS VARCHAR)"
+            " || ' 4111111111111111'")
+    for _pat, _repl in PII_PATTERNS:
+        _red = f"regexp_replace({_red}, '{_pat}', '{_repl}', 'g')"
+    q["text_redact_pii"] = (
+        f"SELECT doc_id, md5({_red}) AS red_md5, "
+        f"CAST(length({_red}) AS INT) AS red_len FROM documents"
+    )
     # pipeline oracles: SQL reimplementation of parse→enrich→route over
     # the written copy of the deterministic generated input (RE2 regex ≡
     # the compiled TOOL_CALL_GROK; lookup miss → default → defaults_used).

@@ -146,3 +146,34 @@ def repetition_ratio(df: DataFrame, text_col: str = "text", n: int = 2,
         F.lit(1.0) - F.size(F.array_distinct(grams)) / k.cast("double"),
     ).otherwise(F.lit(0.0))
     return df.withColumn(out_col, F.round(ratio, 6))
+
+
+# Ordered (pattern, replacement) pairs for redact_pii. RE2-compatible
+# (no lookarounds) so the DuckDB oracle can run the SAME patterns;
+# order matters: emails before phones (an email's digits must not be
+# phone-matched), card-length digit runs before phones.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\d{13,19}\b", "<CARD>"),
+    (r"\b\+?\d{1,3}[-. ]\d{3}[-. ]\d{3,4}[-. ]\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               out_col: str = "text_redacted") -> DataFrame:
+    """Scrub common PII shapes (emails, IPv4s, card-length digit runs,
+    phone-ish numbers) into typed placeholders — the standard hygiene
+    pass before a corpus feeds training.
+
+    A chain of JVM ``regexp_replace`` calls (each replaces ALL
+    occurrences): map-only, whole-stage-codegen'd, zero Python. The
+    pattern list is deliberately RE2-compatible so an independent
+    engine (the DuckDB oracle) replays it verbatim; it is a SHAPE
+    filter, not a validator (no Luhn check, no liberal phone grammar) —
+    precision-tunable by editing PII_PATTERNS.
+    """
+    col = F.col(text_col)
+    for pat, repl in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, repl)
+    return df.withColumn(out_col, col)

@@ -92,3 +92,24 @@ def test_repetition_ratio_values(spark):
     assert got[3] == 0.0 and got[4] == 0.0        # < n tokens
     # "go go","go stop","stop go","go go" → 3 distinct of 5 bigrams
     assert abs(got[5] - (1 - 3 / 5)) < 1e-6
+
+
+def test_redact_pii(spark):
+    from logstash_integration_jdbc_spark.operators.textstats import redact_pii
+
+    rows = [
+        (1, "mail bob.smith+x@corp.example.org now"),
+        (2, "server at 192.168.0.1 port"),
+        (3, "card 4111111111111111 expires"),
+        (4, "call +1 555 867 5309 ok"),
+        (5, "none here 123 plain"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r.text_redacted for r in redact_pii(df).collect()}
+    assert got[1] == "mail <EMAIL> now"
+    assert got[2] == "server at <IP> port"
+    assert got[3] == "card <CARD> expires"
+    assert got[4] == "call <PHONE> ok"
+    assert got[5] == "none here 123 plain"
+    assert got[6] == ""
