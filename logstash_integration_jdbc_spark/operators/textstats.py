@@ -156,7 +156,9 @@ PII_PATTERNS: list[tuple[str, str]] = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
     (r"\b\d{13,19}\b", "<CARD>"),
-    (r"\b\+?\d{1,3}[-. ]\d{3}[-. ]\d{3,4}[-. ]\d{4}\b", "<PHONE>"),
+    # \b AFTER the optional '+': a boundary cannot sit between two
+    # non-word chars (space, '+'), so a leading \b would strand the '+'
+    (r"\+?\b\d{1,3}[-. ]\d{3}[-. ]\d{3,4}[-. ]\d{4}\b", "<PHONE>"),
 ]
 
 
