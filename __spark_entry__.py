@@ -612,6 +612,22 @@ def _q_redact_pii(spark, sf_dir):
         F.length("text_redacted").cast("int").alias("red_len"))
 
 
+_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _q_split_by_hash(spark, sf_dir):
+    # deterministic leakage-safe train/val/test split by key hash; the
+    # oracle recomputes every doc's assignment with the pure-Python
+    # XXH64 twin using the SAME cumulative-bound float accumulation.
+    from logstash_integration_jdbc_spark.operators.sampling import split_by_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    out = split_by_hash(docs, F.col("doc_id"), _SPLIT_FRACTIONS)
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("doc_id").cast("bigint").alias("sum_ids"))
+
+
 def _q_dedup_minhash(spark, sf_dir):
     # 64 hashes / 16 bands (r=4): for the ≥0.9-jaccard near-dup pairs the
     # corpus contains, miss probability is (1-0.9^4)^16 ≈ 4e-8 — exact vs
@@ -1208,6 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_fingerprint,
         "text_repetition": _q_text_repetition,
         "text_redact_pii": _q_redact_pii,
+        "split_by_hash": _q_split_by_hash,
         "dedup_exact_norm": _q_dedup_exact_norm,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -1655,6 +1672,45 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT doc_id, md5({_red}) AS red_md5, "
         f"CAST(length({_red}) AS INT) AS red_len FROM documents"
     )
+
+    # split-by-hash: per-split (n, sum_ids) recomputed with the
+    # pure-Python XXH64 twin and the operator's own cumulative-bound
+    # accumulation (bit-identical floats on both sides).
+    def _build_split_sql() -> str:
+        import duckdb as _dk
+
+        from logstash_integration_jdbc_spark.functions.xxhash import xxh64_str
+        from logstash_integration_jdbc_spark.operators.sampling import (
+            HASH_BUCKETS,
+        )
+
+        ids = [r[0] for r in _dk.sql(
+            f"SELECT doc_id FROM read_parquet('{_ORACLE_SF_DIR}/documents.parquet')"
+        ).fetchall()]
+        items = list(_SPLIT_FRACTIONS.items())
+        bounds = []
+        cum = 0.0
+        for name, frac in items[:-1]:
+            cum += frac  # same accumulation order as split_by_hash
+            bounds.append((name, cum))
+        agg: dict[str, list[int]] = {}
+        for did in ids:
+            u = (xxh64_str(f"{did}#42") % HASH_BUCKETS) / float(HASH_BUCKETS)
+            s = items[-1][0]
+            for name, b in bounds:
+                if u < b:
+                    s = name
+                    break
+            a = agg.setdefault(s, [0, 0])
+            a[0] += 1
+            a[1] += did
+        vals = ", ".join(
+            f"('{s}', CAST({n} AS BIGINT), CAST({sm} AS BIGINT))"
+            for s, (n, sm) in sorted(agg.items())
+        )
+        return f"SELECT * FROM (VALUES {vals}) t(split, n, sum_ids)"
+
+    q["split_by_hash"] = _value_oracle("split_by_hash", _build_split_sql)
     # pipeline oracles: SQL reimplementation of parse→enrich→route over
     # the written copy of the deterministic generated input (RE2 regex ≡
     # the compiled TOOL_CALL_GROK; lookup miss → default → defaults_used).

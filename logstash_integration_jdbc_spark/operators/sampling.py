@@ -1,0 +1,68 @@
+"""Deterministic sampling / dataset splitting for training pipelines.
+
+Train/val/test assignment and subsampling must be (a) reproducible
+across runs and engines, (b) leakage-safe — every row sharing a key
+(conversation, document family) lands on the same side of every split —
+and (c) map-only at 100 TB. All three fall out of hashing the KEY, not
+rolling per-row randoms: ``u = pmod(xxhash64(key#seed), 10^6)/10^6`` is
+a uniform-enough deterministic number that any engine with an XXH64
+twin can replicate bit-exactly (the DuckDB oracle uses the pure-Python
+``functions/xxhash.py`` implementation).
+
+The hash input is the STRING ``key#seed`` (single-argument xxhash64):
+multi-column xxhash64 chains seeds through typed per-column kernels,
+which the cross-engine twin would have to mirror per type; one UTF-8
+string hash keeps the contract engine-neutral.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_BUCKETS = 1_000_000
+
+
+def hash_uniform(key: Column, seed: int = 42) -> Column:
+    """Deterministic uniform in [0, 1) from a key column (stringified)."""
+    salted = F.concat(key.cast("string"), F.lit(f"#{seed}"))
+    return F.pmod(F.xxhash64(salted), F.lit(HASH_BUCKETS)) / float(HASH_BUCKETS)
+
+
+def split_by_hash(df: DataFrame, key: Column,
+                  fractions: dict[str, float], seed: int = 42,
+                  out_col: str = "split") -> DataFrame:
+    """Assign every row to a named split by key hash.
+
+    ``fractions`` maps split name → fraction; they must sum to 1 (±1e-9).
+    Same key ⇒ same split (leakage control across rows of one
+    conversation/document); realized proportions converge on the
+    fractions as distinct keys grow. Map-only CASE expression.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if not fractions:
+        raise ValueError("fractions must not be empty")
+    u = hash_uniform(key, seed)
+    items = list(fractions.items())
+    expr = None
+    cum = 0.0
+    for name, frac in items[:-1]:
+        cum += frac
+        expr = F.when(u < cum, name) if expr is None else expr.when(u < cum, name)
+    last = items[-1][0]
+    expr = expr.otherwise(F.lit(last)) if expr is not None else F.lit(last)
+    return df.withColumn(out_col, expr)
+
+
+def sample_by_hash(df: DataFrame, key: Column, fraction: float,
+                   seed: int = 42) -> DataFrame:
+    """Keep a deterministic ``fraction`` of keys (not rows): rerunning,
+    resuming, or running on another engine keeps the SAME subset, and
+    sampling composes with itself (fraction 0.5 then 0.2 over the same
+    seed keeps nested subsets only if seeds differ — pass distinct
+    seeds for independent draws)."""
+    if not (0.0 <= fraction <= 1.0):
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(hash_uniform(key, seed) < fraction)

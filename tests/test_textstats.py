@@ -113,3 +113,40 @@ def test_redact_pii(spark):
     assert got[4] == "call <PHONE> ok"
     assert got[5] == "none here 123 plain"
     assert got[6] == ""
+
+
+def test_split_by_hash_determinism_and_leakage(spark):
+    from logstash_integration_jdbc_spark.operators.sampling import (
+        sample_by_hash,
+        split_by_hash,
+    )
+
+    df = spark.range(5000).select(
+        F.col("id"), (F.col("id") % 500).alias("conv"))
+    out = split_by_hash(df, F.col("conv"), {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = out.collect()
+    # deterministic: rerun assigns identically
+    again = {(r.id): r.split for r in out.collect()}
+    assert all(again[r.id] == r.split for r in rows)
+    # leakage-safe: one split per conv key
+    per_conv = {}
+    for r in rows:
+        per_conv.setdefault(r.conv, set()).add(r.split)
+    assert all(len(s) == 1 for s in per_conv.values())
+    # proportions in the right ballpark over 500 keys
+    n = {s: 0 for s in ("train", "val", "test")}
+    for r in rows:
+        n[r.split] += 1
+    assert 0.7 < n["train"] / 5000 < 0.9
+    assert n["train"] + n["val"] + n["test"] == 5000
+
+    sub = sample_by_hash(df, F.col("conv"), 0.2)
+    k = sub.select("conv").distinct().count()
+    assert 50 < k < 150  # ~100 of 500 keys
+    # subset is key-closed: every kept conv keeps all its rows
+    assert sub.count() == k * 10
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sum to 1"):
+        split_by_hash(df, F.col("conv"), {"a": 0.5, "b": 0.4})
