@@ -612,6 +612,22 @@ def _q_redact_pii(spark, sf_dir):
         F.length("text_redacted").cast("int").alias("red_len"))
 
 
+def _q_contamination(spark, sf_dir):
+    # GPT-3-style n-gram decontamination: benchmark = every 20th doc,
+    # corpus = all documents; pairs with ≥2 shared trigram shingles
+    # (125 hit pairs at sf0.01 — parameters chosen so the check carries
+    # real rows). Oracle: gram-STRING intersection counts in SQL (the
+    # hash is injective modulo 64-bit collisions, so counts agree).
+    from logstash_integration_jdbc_spark.operators.dedup import (
+        contamination_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return contamination_pairs(docs, bench, n_shingle=3, min_overlap=2).select(
+        "corpus_id", "bench_id", "n_overlap")
+
+
 _SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
@@ -1225,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_text_repetition,
         "text_redact_pii": _q_redact_pii,
         "split_by_hash": _q_split_by_hash,
+        "contamination_check": _q_contamination,
         "dedup_exact_norm": _q_dedup_exact_norm,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -1711,6 +1728,26 @@ def oracle_sql() -> dict[str, str]:
         return f"SELECT * FROM (VALUES {vals}) t(split, n, sum_ids)"
 
     q["split_by_hash"] = _value_oracle("split_by_hash", _build_split_sql)
+    q["contamination_check"] = r"""
+        WITH tok AS (
+            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w, text
+            FROM documents
+        ), sh3 AS (
+            SELECT doc_id,
+                list_distinct(
+                    CASE WHEN len(w) >= 3
+                         THEN list_transform(range(1, len(w) - 1),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                         ELSE [text] END
+                ) AS s
+            FROM tok
+        )
+        SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id,
+               CAST(len(list_intersect(c.s, b.s)) AS BIGINT) AS n_overlap
+        FROM sh3 c JOIN sh3 b
+          ON b.doc_id % 20 = 0 AND c.doc_id <> b.doc_id
+        WHERE len(list_intersect(c.s, b.s)) >= 2
+    """
     # pipeline oracles: SQL reimplementation of parse→enrich→route over
     # the written copy of the deterministic generated input (RE2 regex ≡
     # the compiled TOOL_CALL_GROK; lookup miss → default → defaults_used).

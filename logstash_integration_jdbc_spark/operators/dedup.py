@@ -345,6 +345,44 @@ def minhash_lsh_candidates(
     )
 
 
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shingle: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: (corpus_id, bench_id, n_overlap) for
+    every corpus doc sharing ≥ ``min_overlap`` word n-gram shingles
+    with a benchmark/eval doc (the GPT-3/PaLM-style n-gram overlap
+    check; 8-13 grams are the usual production settings).
+
+    Scale shape: the benchmark side is SMALL by definition (eval sets),
+    so its exploded distinct shingles broadcast — the corpus side is
+    one map pass (tokenize + gram-hash + explode) into a broadcast hash
+    join, then one shuffle on (corpus_id, bench_id) for the overlap
+    count. Nothing is quadratic in the corpus. Shingle arrays are
+    distinct per doc, so the count IS the intersection size.
+
+    Self-pairs (same id on both sides, e.g. when the benchmark is a
+    subset of the corpus) are excluded.
+    """
+    c = _shingled(_spread(corpus, id_col, text_col), id_col, text_col,
+                  n_shingle).select(
+        F.col(id_col).alias("corpus_id"), F.explode("__sh").alias("__g"))
+    b = _shingled(_spread(benchmark, id_col, text_col), id_col, text_col,
+                  n_shingle).select(
+        F.col(id_col).alias("bench_id"), F.explode("__sh").alias("__g"))
+    return (
+        c.join(F.broadcast(b), "__g")
+        .filter(F.col("corpus_id") != F.col("bench_id"))
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+
+
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.8,
                         id_col: str = "doc_id", text_col: str = "text",
                         n_shingle: int = 3) -> DataFrame:

@@ -314,3 +314,41 @@ def test_minhash_band_buckets_shape(docs):
     for r in rows:
         by_band.setdefault(r["__band"], set()).add(r["__bucket"])
     assert all(len(v) == 1 for v in by_band.values())
+
+
+def test_contamination_pairs(spark):
+    from logstash_integration_jdbc_spark.operators.dedup import (
+        contamination_pairs,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "a quick brown fox jumps over the lazy cat instead"),
+            (3, "completely different words nothing shared at all here now"),
+            (10, "the quick brown fox jumps over the lazy dog today"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = corpus.filter(F.col("doc_id") == 10)
+    got = {(r.corpus_id, r.bench_id): r.n_overlap for r in
+           contamination_pairs(corpus, bench, n_shingle=3,
+                               min_overlap=2).collect()}
+    # doc 1 is identical to bench 10: all 8 trigrams overlap
+    assert got[(1, 10)] == 8
+    # doc 2 shares the middle trigrams but not 2+; compute: shared
+    # trigrams of "quick brown fox jumps over the lazy" region
+    assert got[(2, 10)] >= 2
+    assert (3, 10) not in got
+    assert (10, 10) not in got  # self-pair excluded
+
+
+def test_contamination_benchmark_broadcast_plan(spark):
+    from logstash_integration_jdbc_spark.operators.dedup import (
+        contamination_pairs,
+    )
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = corpus.filter(F.col("doc_id") % 50 == 0)
+    plan = contamination_pairs(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
