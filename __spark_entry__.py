@@ -628,6 +628,17 @@ def _q_contamination(spark, sf_dir):
         "corpus_id", "bench_id", "n_overlap")
 
 
+def _q_pack_sequences(spark, sf_dir):
+    # fixed-budget training-sequence packing (deterministic, cluster-
+    # size-independent); oracle = independent pure-Python greedy twin
+    # over the same bucket hash + token counts.
+    from logstash_integration_jdbc_spark.operators.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=200, n_buckets=16).select(
+        "doc_id", "n_tokens", "bucket", "seq_idx")
+
+
 _SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
@@ -1242,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact_pii": _q_redact_pii,
         "split_by_hash": _q_split_by_hash,
         "contamination_check": _q_contamination,
+        "pack_sequences": _q_pack_sequences,
         "dedup_exact_norm": _q_dedup_exact_norm,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -1728,6 +1740,41 @@ def oracle_sql() -> dict[str, str]:
         return f"SELECT * FROM (VALUES {vals}) t(split, n, sum_ids)"
 
     q["split_by_hash"] = _value_oracle("split_by_hash", _build_split_sql)
+
+    def _build_pack_sql() -> str:
+        import duckdb as _dk
+
+        from logstash_integration_jdbc_spark.functions.xxhash import (
+            spark_ws_tokens,
+            xxh64_str,
+        )
+
+        rows = _dk.sql(
+            "SELECT doc_id, text FROM "
+            f"read_parquet('{_ORACLE_SF_DIR}/documents.parquet')"
+        ).fetchall()
+        per_bucket: dict[int, list[tuple[int, int]]] = {}
+        for did, text in rows:
+            n = 0 if text.strip(" ") == "" else len(spark_ws_tokens(text))
+            b = xxh64_str(f"{did}#pack42") % 16
+            per_bucket.setdefault(b, []).append((did, n))
+        out = []
+        for b, docs_in in per_bucket.items():
+            seq, used = 0, 0
+            for did, n in sorted(docs_in):
+                if used > 0 and used + n > 200:
+                    seq += 1
+                    used = 0
+                out.append((did, n, b, seq))
+                used += n
+        vals = ", ".join(
+            f"(CAST({d} AS BIGINT), {n}, {b}, CAST({s} AS BIGINT))"
+            for d, n, b, s in out
+        )
+        return (f"SELECT * FROM (VALUES {vals}) "
+                "t(doc_id, n_tokens, bucket, seq_idx)")
+
+    q["pack_sequences"] = _value_oracle("pack_sequences", _build_pack_sql)
     q["contamination_check"] = r"""
         WITH tok AS (
             SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w, text

@@ -56,6 +56,59 @@ def split_by_hash(df: DataFrame, key: Column,
     return df.withColumn(out_col, expr)
 
 
+def pack_sequences(df: DataFrame, budget: int,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   n_buckets: int = 64, seed: int = 42) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences:
+    (doc_id, n_tokens, bucket, seq_idx) where (bucket, seq_idx) names
+    the packed sequence.
+
+    The packing is DETERMINISTIC and cluster-size-independent: docs
+    hash into ``n_buckets`` fixed buckets (not Spark partitions), each
+    bucket packs ITS docs in ascending id order with greedy first-fit
+    (start a new sequence when the running token total would exceed
+    ``budget``; a doc longer than the budget occupies its own sequence
+    — truncation is the trainer's policy, not the packer's). Rerun,
+    resume, or a different executor count reproduce identical
+    sequences — the property a resumable curation pipeline needs.
+
+    Scale: one map pass (token count + bucket hash), ONE shuffle on the
+    bucket key, and an Arrow-batched per-bucket kernel that is O(docs
+    in bucket); n_buckets bounds kernel memory and sets packing
+    parallelism independently of input partitioning.
+    """
+    import pandas as pd
+
+    from logstash_integration_jdbc_spark.operators.textstats import token_count
+
+    base = df.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        F.pmod(
+            F.xxhash64(F.concat(F.col(id_col).cast("string"),
+                                F.lit(f"#pack{seed}"))),
+            F.lit(n_buckets),
+        ).cast("int").alias("bucket"),
+    )
+
+    def pack(key, pdf):
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        seqs = []
+        seq, used = 0, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if used > 0 and used + n > budget:
+                seq += 1
+                used = 0
+            seqs.append(seq)
+            used += n
+        pdf["seq_idx"] = pd.Series(seqs, dtype="int64")
+        return pdf
+
+    return base.groupBy("bucket").applyInPandas(
+        pack, schema=f"{id_col} bigint, n_tokens int, bucket int, seq_idx bigint")
+
+
 def sample_by_hash(df: DataFrame, key: Column, fraction: float,
                    seed: int = 42) -> DataFrame:
     """Keep a deterministic ``fraction`` of keys (not rows): rerunning,

@@ -150,3 +150,30 @@ def test_split_by_hash_determinism_and_leakage(spark):
 
     with _pytest.raises(ValueError, match="sum to 1"):
         split_by_hash(df, F.col("conv"), {"a": 0.5, "b": 0.4})
+
+
+def test_pack_sequences_budget_and_determinism(spark):
+    from logstash_integration_jdbc_spark.operators.sampling import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = pack_sequences(docs, budget=150, n_buckets=8)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    # every sequence respects the budget unless it is a single long doc
+    per_seq: dict = {}
+    for r in rows:
+        per_seq.setdefault((r.bucket, r.seq_idx), []).append(r.n_tokens)
+    for toks in per_seq.values():
+        assert sum(toks) <= 150 or len(toks) == 1
+    # deterministic across recomputation and independent of partitioning
+    again = {r.doc_id: (r.bucket, r.seq_idx)
+             for r in pack_sequences(docs.repartition(13), budget=150,
+                                     n_buckets=8).collect()}
+    assert all(again[r.doc_id] == (r.bucket, r.seq_idx) for r in rows)
+    # sequences fill greedily in id order within a bucket: seq indexes
+    # are contiguous from 0
+    by_bucket: dict = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, set()).add(r.seq_idx)
+    for seqs in by_bucket.values():
+        assert seqs == set(range(len(seqs)))
