@@ -184,3 +184,27 @@ def test_exact_cosine_pairs_is_tiled_not_collected(spark):
     assert "FlatMapGroupsInPandas" in plan          # applyInPandas kernel
     # candidate generation feeds a grouped exchange on the tile pair key
     assert "Exchange hashpartitioning(__lo" in plan
+
+
+def test_redact_and_split_are_map_only_jvm(spark):
+    from logstash_integration_jdbc_spark.operators.sampling import split_by_hash
+    from logstash_integration_jdbc_spark.operators.textstats import redact_pii
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    red = redact_pii(docs)
+    plan = plan_of(red)
+    assert "EvalPython" not in plan and "Exchange" not in plan
+    spl = split_by_hash(docs, F.col("doc_id"),
+                        {"train": 0.8, "val": 0.1, "test": 0.1})
+    plan = plan_of(spl)
+    assert "EvalPython" not in plan and "Exchange" not in plan
+
+
+def test_pack_sequences_single_bucket_exchange(spark):
+    from logstash_integration_jdbc_spark.operators.sampling import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(pack_sequences(docs, budget=200))
+    # one shuffle on the bucket key feeding the packing kernel — the
+    # token count and bucket hash are map-side
+    assert plan.count("Exchange hashpartitioning") == 1
