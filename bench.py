@@ -130,12 +130,51 @@ def _media_input(spark, fmt: str, n_rows: int) -> str:
     base = os.path.join(tempfile.gettempdir(), f"ljspark-media-{fmt}-{n_rows}")
     marker = os.path.join(base, "_DONE")
     if not os.path.exists(marker):
-        from logstash_integration_jdbc_spark.operators.multimodal import gen_media
+        if fmt == "jpeg_large":
+            # 64 256×256 baseline JPEGs: the 16-64 px gen_media images
+            # measure per-image overhead; this rep measures the codec
+            import pandas as pd
 
-        kw = ({"video_format": "mjpeg"} if fmt == "mjpeg"
-              else {"image_format": fmt})
-        gen_media(spark, n_rows=n_rows, **kw).write.mode("overwrite").parquet(
-            os.path.join(base, "media.parquet"))
+            from logstash_integration_jdbc_spark.functions.jpeg import (
+                encode_jpeg,
+            )
+            from logstash_integration_jdbc_spark.operators.multimodal import (
+                MEDIA_SCHEMA,
+                _pixel_bytes,
+            )
+
+            def gen(batches):
+                import numpy as np
+
+                for pdf in batches:
+                    rows = []
+                    for i in pdf["id"]:
+                        i = int(i)
+                        px = np.frombuffer(
+                            _pixel_bytes(i, 7, 256 * 256 * 3), dtype=np.uint8
+                        ).reshape(256, 256, 3)
+                        rows.append({
+                            "media_id": i, "kind": "image",
+                            "payload": encode_jpeg(px, quality=90,
+                                                   subsample=True),
+                            "meta": {"width": 256, "height": 256,
+                                     "sample_rate": 0, "n_frames": 0,
+                                     "mime": "image/jpeg"},
+                        })
+                    yield pd.DataFrame(rows)
+
+            spark.range(64).repartition(32).mapInPandas(
+                gen, schema=MEDIA_SCHEMA
+            ).write.mode("overwrite").parquet(os.path.join(base, "media.parquet"))
+        else:
+            from logstash_integration_jdbc_spark.operators.multimodal import (
+                gen_media,
+            )
+
+            kw = ({"video_format": "mjpeg"} if fmt == "mjpeg"
+                  else {"image_format": fmt})
+            gen_media(spark, n_rows=n_rows, **kw).write.mode("overwrite").parquet(
+                os.path.join(base, "media.parquet"))
         with open(marker, "w") as f:
             f.write("ok")
     return os.path.join(base, "media.parquet")
@@ -155,7 +194,7 @@ def run_media_decode_bench(spark, n_rows: int = MEDIA_ROWS,
     )
 
     out = {}
-    for fmt in ("ppm", "png", "jpeg", "mjpeg"):
+    for fmt in ("ppm", "png", "jpeg", "jpeg_large", "mjpeg"):
         path = _media_input(spark, fmt, n_rows)
         df = spark.read.parquet(path)
         kind = "video" if fmt == "mjpeg" else "image"
