@@ -980,6 +980,23 @@ def _q_jpeg_textured(spark, sf_dir):
         gen, schema="media_id long, tile_idx int, r int, g int, b int, uniform boolean")
 
 
+def _q_audio_rms(spark, sf_dir):
+    # real RIFF/WAVE decode through the driver gate: chunk-walked
+    # fmt/data parse + PCM16 RMS. The oracle recomputes rate/n/rms from
+    # the deterministic payload builders with the same numpy arithmetic
+    # (the chunk walk under test is NOT shared).
+    from logstash_integration_jdbc_spark.operators.multimodal import (
+        extract_audio_features,
+        gen_media,
+    )
+
+    _pin(spark)
+    feats = extract_audio_features(gen_media(spark, n_rows=300))
+    return feats.select(
+        "media_id", "sample_rate", "n_samples",
+        F.round("rms", 6).alias("rms6"))
+
+
 def _q_media_stats(spark, sf_dir):
     # generated binary media table (no testdata media exists); the oracle
     # is the expected aggregate computed independently in pure Python
@@ -1262,6 +1279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dups_scalable": _q_embedding_near_dups_scalable,
         "multimodal_media_stats": _q_media_stats,
+        "multimodal_audio_rms": _q_audio_rms,
         "multimodal_frame_sample": _q_frame_sample,
         "multimodal_mjpeg_frames": _q_mjpeg_frames,
         "multimodal_resize": _q_resize,
@@ -2138,6 +2156,31 @@ def oracle_sql() -> dict[str, str]:
     )
     q["multimodal_media_stats"] = (
         f"SELECT * FROM (VALUES {vals}) t(kind, n, sum_width, sum_frames)"
+    )
+    # audio RMS: expected (rate, n, rms) from the payload builders with
+    # the operator's exact numpy arithmetic (chunk walk not shared).
+    import numpy as _npa
+
+    from logstash_integration_jdbc_spark.operators.multimodal import (
+        _pixel_bytes as _pba,
+    )
+
+    arows = []
+    for i in range(300):
+        s = _row_spec(i, 42)
+        if s["kind"] != "audio":
+            continue
+        n_samples = s["sample_rate"] // 10
+        raw = _pba(i, 42, n_samples * 2, salt=99)
+        samples = _npa.frombuffer(raw, dtype="<i2").astype(_npa.float64)
+        rms = float(_npa.sqrt((samples ** 2).mean())) if n_samples else 0.0
+        arows.append((i, s["sample_rate"], n_samples, round(rms, 6)))
+    avals = ", ".join(
+        f"(CAST({m} AS BIGINT), {r}, {n}, CAST({v!r} AS DOUBLE))"
+        for m, r, n, v in arows)
+    q["multimodal_audio_rms"] = (
+        f"SELECT * FROM (VALUES {avals}) "
+        "t(media_id, sample_rate, n_samples, rms6)"
     )
     # frame sample: expected (media_id, frame_idx, frame_len) recomputed
     # in pure Python (header + w·h·3 bytes per PPM frame).
