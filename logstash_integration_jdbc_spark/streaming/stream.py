@@ -52,6 +52,28 @@ def streaming_hourly_counts(
     )
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    ts_col: str = "ts",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Ingest-time exactly-once-per-key dedup over a stream.
+
+    At-least-once upstreams (retried batches, replayed queues, the
+    reference's rerun-the-whole-failed-batch semantics) deliver the
+    same turn more than once; ``dropDuplicatesWithinWatermark`` keeps
+    the FIRST arrival of each key and bounds the dedup state by the
+    watermark delay — old keys age out of state instead of accumulating
+    forever, which is what makes this viable on an unbounded 10^12-turn
+    stream (a plain dropDuplicates would hold every key ever seen).
+    Duplicates arriving later than the delay pass through — bound it to
+    the upstream's redelivery window.
+    """
+    return stream.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+        list(key_cols))
+
+
 def run_streaming_pipeline(
     spark: SparkSession,
     transcripts_path: str,

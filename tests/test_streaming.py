@@ -87,3 +87,29 @@ def test_streaming_hourly_counts_watermark(spark, tmp_path, transcripts):
         j = got.join(batch, ["role", "window_start"], "inner")
         mismatches = j.filter(got["n_turns"] != batch["n_turns"]).count()
         assert mismatches == 0
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path, transcripts):
+    from logstash_integration_jdbc_spark.streaming.stream import streaming_dedup
+
+    src = str(tmp_path / "dsrc")
+    # at-least-once upstream: the same rows delivered twice (two files)
+    sample = transcripts.limit(500)
+    sample.write.mode("overwrite").parquet(src)
+    sample.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(transcripts.schema).parquet(src)
+    out = streaming_dedup(stream, key_cols=("conv_id", "turn_idx"),
+                          watermark_delay="1 hour")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "dout"))
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(str(tmp_path / "dout"))
+    n_keys = sample.select("conv_id", "turn_idx").distinct().count()
+    assert got.count() == n_keys
+    assert got.select("conv_id", "turn_idx").distinct().count() == n_keys
