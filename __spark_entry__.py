@@ -1156,6 +1156,38 @@ def _write_pipeline_input(spark):
     return tr
 
 
+def _q_streaming_dedup(spark, sf_dir):
+    # §2.7: watermark-bounded ingest dedup — the generated transcript
+    # batch delivered TWICE (at-least-once upstream); the deduped
+    # stream's per-role counts must equal the single-delivery counts
+    # (oracle: distinct-key SQL over the same generated input).
+    import os as _os
+    import tempfile as _tf
+
+    from logstash_integration_jdbc_spark.sources.generator import gen_transcripts
+    from logstash_integration_jdbc_spark.streaming.stream import streaming_dedup
+
+    _pin(spark)
+    base = _tf.mkdtemp(prefix="sdedup-q-")
+    src = _os.path.join(base, "src")
+    _write_pipeline_input(spark)
+    tr = gen_transcripts(spark, n_rows=5000, seed=42)
+    tr.write.mode("overwrite").parquet(src)
+    tr.write.mode("append").parquet(src)  # duplicate delivery
+    stream = spark.readStream.schema(tr.schema).parquet(src)
+    out = streaming_dedup(stream, key_cols=("conv_id", "turn_idx"),
+                          watermark_delay="1 hour")
+    q = (
+        out.writeStream.outputMode("append").format("parquet")
+        .option("path", _os.path.join(base, "out"))
+        .option("checkpointLocation", _os.path.join(base, "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(_os.path.join(base, "out"))
+    return got.groupBy("role").agg(F.count(F.lit(1)).alias("n"))
+
+
 def _q_streaming_counts(spark, sf_dir):
     # S8/§2.7: Structured Streaming availableNow run of the full
     # parse→enrich→route pipeline (Spark checkpoint ≡ sql_last_value);
@@ -1287,6 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg_solid": _q_jpeg_solid,
         "multimodal_jpeg_textured": _q_jpeg_textured,
         "streaming_counts": _q_streaming_counts,
+        "streaming_dedup": _q_streaming_dedup,
         "transcript_pipeline": _q_transcript_pipeline,
     }
 
@@ -1839,6 +1872,12 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n
         FROM read_parquet('{_PIPELINE_ORACLE_DIR}/transcripts.parquet/*.parquet')
         GROUP BY 1
+    """
+    q["streaming_dedup"] = f"""
+        SELECT role, count(*) AS n FROM (
+            SELECT DISTINCT conv_id, turn_idx, role
+            FROM read_parquet('{_PIPELINE_ORACLE_DIR}/transcripts.parquet/*.parquet')
+        ) GROUP BY role
     """
     q["dedup_simhash"] = _value_oracle("simhash", _simhash_oracle_values)
     q["text_fingerprint"] = _value_oracle("fp", _fingerprint_oracle_values)
