@@ -655,6 +655,17 @@ def _q_split_by_hash(spark, sf_dir):
         F.sum("doc_id").cast("bigint").alias("sum_ids"))
 
 
+def _q_curation_funnel(spark, sf_dir):
+    # end-to-end curation composition (redact → quality gate → language
+    # gate → normalized exact dedup): the one-row per-stage survivor
+    # funnel must equal a single DuckDB CTE chain replaying all four
+    # stages over the same corpus.
+    from logstash_integration_jdbc_spark.operators.curate import curation_funnel
+
+    docs = _t(spark, sf_dir, "documents")
+    return curation_funnel(docs)
+
+
 def _q_dedup_minhash(spark, sf_dir):
     # 64 hashes / 16 bands (r=4): for the ≥0.9-jaccard near-dup pairs the
     # corpus contains, miss probability is (1-0.9^4)^16 ≈ 4e-8 — exact vs
@@ -1320,6 +1331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg_textured": _q_jpeg_textured,
         "streaming_counts": _q_streaming_counts,
         "streaming_dedup": _q_streaming_dedup,
+        "curation_funnel": _q_curation_funnel,
         "transcript_pipeline": _q_transcript_pipeline,
     }
 
@@ -1978,6 +1990,64 @@ def oracle_sql() -> dict[str, str]:
                  WHEN f_en = greatest(f_en, f_de, f_fr, f_es) THEN 'en'
                  ELSE 'de' END AS lang_pred
         FROM s
+    """
+    # curation funnel: the full redact→quality→lang→dedup chain in ONE
+    # CTE pipeline over the redacted text (stage SQL bodies identical to
+    # the per-stage oracles above, re-rooted at the redaction).
+    _redraw = "text"
+    for _pat, _repl in PII_PATTERNS:
+        _redraw = f"regexp_replace({_redraw}, '{_pat}', '{_repl}', 'g')"
+    q["curation_funnel"] = rf"""
+        WITH red AS (
+            SELECT doc_id, {_redraw} AS text FROM documents
+        ), cf AS (
+            SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                     ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks,
+                length(text) AS n_chars,
+                length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+                length(regexp_replace(text, '\s+', '', 'g')) AS n_nospace,
+                CAST(length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS DOUBLE)
+                    / greatest(length(text), 1) AS cjk_ratio,
+                text
+            FROM red
+        ), cg AS (
+            SELECT doc_id, toks, cjk_ratio, text, len(toks) AS n_tokens,
+                round(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END, 6) AS punct_ratio,
+                round(CASE WHEN len(toks) > 0
+                      THEN CAST(len(list_filter(toks, t -> t IN ({_STOP_EN}))) AS DOUBLE)/len(toks)
+                      ELSE 0.0 END, 6) AS stopword_ratio,
+                round(CASE WHEN len(toks) > 0 THEN CAST(n_nospace AS DOUBLE)/len(toks) ELSE 0.0 END, 6) AS mean_word_len
+            FROM cf
+        ), cq AS (
+            SELECT doc_id, toks, cjk_ratio, text FROM cg
+            WHERE round((CASE WHEN n_tokens >= 10 THEN 0.25 ELSE 0.0 END)
+                + (CASE WHEN mean_word_len > 1.0 AND mean_word_len <= 12.0 THEN 0.25 ELSE 0.0 END)
+                + (CASE WHEN punct_ratio < 0.3 THEN 0.25 ELSE 0.0 END)
+                + (CASE WHEN stopword_ratio > 0.0 THEN 0.25 ELSE 0.0 END), 2) >= 0.5
+        ), cl AS (
+            SELECT doc_id, text FROM (
+                SELECT doc_id, text, cjk_ratio,
+                       {frac['en']} AS f_en, {frac['de']} AS f_de,
+                       {frac['fr']} AS f_fr, {frac['es']} AS f_es
+                FROM cq
+            )
+            WHERE (CASE WHEN cjk_ratio > 0.25 THEN 'zh'
+                     WHEN greatest(f_en, f_de, f_fr, f_es) = 0 THEN 'unknown'
+                     WHEN f_fr = greatest(f_en, f_de, f_fr, f_es) THEN 'fr'
+                     WHEN f_es = greatest(f_en, f_de, f_fr, f_es) THEN 'es'
+                     WHEN f_en = greatest(f_en, f_de, f_fr, f_es) THEN 'en'
+                     ELSE 'de' END) = 'en'
+        ), cd AS (
+            SELECT doc_id FROM cl QUALIFY doc_id = min(doc_id) OVER (
+                PARTITION BY trim(regexp_replace(
+                    regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+                    '\s+', ' ', 'g')))
+        )
+        SELECT (SELECT count(*) FROM red) AS n_input,
+               (SELECT count(*) FROM cq) AS n_quality,
+               (SELECT count(*) FROM cl) AS n_lang,
+               (SELECT count(*) FROM cd) AS n_dedup
     """
     q["ann_cosine_topk"] = """
         WITH e AS (

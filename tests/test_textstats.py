@@ -177,3 +177,28 @@ def test_pack_sequences_budget_and_determinism(spark):
         by_bucket.setdefault(r.bucket, set()).add(r.seq_idx)
     for seqs in by_bucket.values():
         assert seqs == set(range(len(seqs)))
+
+
+def test_curate_documents_end_to_end(spark):
+    from logstash_integration_jdbc_spark.operators.curate import (
+        curate_documents,
+        curation_funnel,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = curate_documents(docs)
+    rows = out.collect()
+    assert rows, "curation should keep some documents"
+    assert {"text_redacted", "quality", "lang_pred", "split"} <= set(out.columns)
+    assert all(r.quality >= 0.5 and r.lang_pred == "en" for r in rows)
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    # dedup kept one representative per normalized redacted text
+    texts = [r.text_redacted.lower() for r in rows]
+    from logstash_integration_jdbc_spark.operators.dedup import (
+        normalize_text_expr,  # noqa: F401  (expression parity is oracle-tested)
+    )
+
+    funnel = curation_funnel(docs).first()
+    assert funnel.n_input == docs.count()
+    assert (funnel.n_input >= funnel.n_quality >= funnel.n_lang
+            >= funnel.n_dedup == len(rows))
