@@ -224,7 +224,9 @@ def run_media_decode_bench(spark, n_rows: int = MEDIA_ROWS,
 
 MINHASH_ROWS = int(os.environ.get("SPARK_GRAFT_MINHASH_ROWS", "1000000"))
 MINHASH_8M_ROWS = int(os.environ.get("SPARK_GRAFT_MINHASH_8M_ROWS", "8000000"))
-MINHASH_8M_REPS = int(os.environ.get("SPARK_GRAFT_MINHASH_8M_REPS", "1"))
+# min-of-2: a single 8M rep showed 71 vs 114 s across runs (page-cache/
+# JVM state), too noisy to read round-over-round
+MINHASH_8M_REPS = int(os.environ.get("SPARK_GRAFT_MINHASH_8M_REPS", "2"))
 
 
 def _docs_input(spark, n_rows: int) -> str:
