@@ -446,3 +446,31 @@ class TestWavChunkWalk:
                        "n_frames": 0, "mime": "audio/wav"}}], MEDIA_SCHEMA)
         with _pytest.raises(Exception, match="non-PCM|soundfile"):
             extract_audio_features(df).collect()
+
+
+def test_split_jpeg_frames_rejects_garbage():
+    import pytest as _pytest
+
+    from logstash_integration_jdbc_spark.functions.jpeg import split_jpeg_frames
+
+    with _pytest.raises(ValueError, match="SOI"):
+        split_jpeg_frames(b"\x00\x01\x02\x03")
+    # valid frame followed by garbage → error names the offset
+    import numpy as np
+
+    from logstash_integration_jdbc_spark.functions.jpeg import encode_jpeg
+
+    f = encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8))
+    with _pytest.raises(ValueError, match=str(len(f))):
+        split_jpeg_frames(f + b"junk")
+
+
+def test_gen_media_rejects_unknown_formats(spark):
+    import pytest as _pytest
+
+    from logstash_integration_jdbc_spark.operators.multimodal import gen_media
+
+    with _pytest.raises(ValueError, match="image_format"):
+        gen_media(spark, n_rows=1, image_format="bmp")
+    with _pytest.raises(ValueError, match="video_format"):
+        gen_media(spark, n_rows=1, video_format="mp4")
