@@ -200,6 +200,75 @@ class _BitReader:
         self.pos = p + length
         return sym_lut[peek]
 
+    def decode_block(self, dc_tab, ac_tab, pred: int) -> tuple[list[int], int]:
+        """One 8×8 block's zigzag coefficients + the new DC predictor.
+
+        The whole DC+AC symbol loop runs on LOCAL variables (byte list,
+        bit position, LUTs) — the per-call attribute reads of the
+        read_symbol/read_bits composition were ~30% of decode time at
+        this level of tuning (measured; BASELINE.md)."""
+        b = self.b
+        p = self.pos
+        nbits = self.nbits
+        dc_sym, dc_len = dc_tab
+        ac_sym, ac_len = ac_tab
+        coef = [0] * 64
+
+        # DC: size symbol, then the signed diff
+        i = p >> 3
+        peek = (((b[i] << 16) | (b[i + 1] << 8) | b[i + 2])
+                >> (8 - (p & 7))) & 0xFFFF
+        t = dc_len[peek]
+        if t == 0:
+            raise ValueError("invalid huffman code in JPEG stream")
+        if p + t > nbits:
+            raise ValueError("JPEG entropy data exhausted")
+        p += t
+        t = dc_sym[peek]
+        if t:
+            if p + t > nbits:
+                raise ValueError("JPEG entropy data exhausted")
+            i = p >> 3
+            off = p & 7
+            v = (((b[i] << 16) | (b[i + 1] << 8) | b[i + 2])
+                 >> (24 - off - t)) & ((1 << t) - 1)
+            p += t
+            pred += v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+        coef[0] = pred
+
+        k = 1
+        while k < 64:
+            i = p >> 3
+            peek = (((b[i] << 16) | (b[i + 1] << 8) | b[i + 2])
+                    >> (8 - (p & 7))) & 0xFFFF
+            ln = ac_len[peek]
+            if ln == 0:
+                raise ValueError("invalid huffman code in JPEG stream")
+            if p + ln > nbits:
+                raise ValueError("JPEG entropy data exhausted")
+            p += ln
+            rs = ac_sym[peek]
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += rs >> 4
+            if k > 63:
+                raise ValueError("AC index overflow")
+            s = rs & 0xF
+            if p + s > nbits:
+                raise ValueError("JPEG entropy data exhausted")
+            i = p >> 3
+            off = p & 7
+            v = (((b[i] << 16) | (b[i + 1] << 8) | b[i + 2])
+                 >> (24 - off - s)) & ((1 << s) - 1)
+            p += s
+            coef[k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+            k += 1
+        self.pos = p
+        return coef, pred
+
 
 def _extend(v: int, t: int) -> int:
     """JPEG EXTEND: map t-bit magnitude to signed value."""
@@ -345,25 +414,8 @@ def parse_jpeg(payload: bytes):
                 dc_tab, ac_tab = huff_dc[dct_t], huff_ac[act_t]
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
-                        t = reader.read_symbol(dc_tab)
-                        diff = _extend(reader.read_bits(t), t)
-                        pred[ci] += diff
-                        coef = [0] * 64
-                        coef[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = reader.read_symbol(ac_tab)
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += rs >> 4
-                            if k > 63:
-                                raise ValueError("AC index overflow")
-                            s = rs & 0xF
-                            coef[k] = _extend(reader.read_bits(s), s)
-                            k += 1
+                        coef, pred[ci] = reader.decode_block(
+                            dc_tab, ac_tab, pred[ci])
                         coef_rows[ci].append(coef)
                         block_pos[ci].append(
                             ((my * comp["v"] + by) * 8, (mx * comp["h"] + bx) * 8))
