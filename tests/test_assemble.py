@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import datetime
 
+from pyspark.sql import functions as F
+
 from logstash_integration_jdbc_spark.operators.assemble import assemble_conversations
 
 
@@ -40,3 +42,44 @@ def test_max_turns_caps_document(spark):
 def test_jvm_only(spark):
     plan = assemble_conversations(df_of(spark))._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_sessionize_native_matches_lag_form(spark):
+    from pyspark.sql import Window
+
+    from logstash_integration_jdbc_spark.operators.aggregate import (
+        sessionize_native,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sess = sessionize_native(ev, gap="30 minutes")
+    native = {r.user_id: r.n for r in
+              sess.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    bound = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    lag_form = {r.user_id: r.n for r in
+                ev.withColumn("s", bound).groupBy("user_id")
+                .agg(F.sum("s").alias("n")).collect()}
+    assert native == lag_form
+
+    # session spans cover their events: n_events sums to the row count
+    total = sum(r.n_events for r in sess.collect())
+    assert total == ev.count()
+
+
+def test_sessionize_native_exact_gap_boundary(spark):
+    """Documented divergence: an event exactly `gap` after the previous
+    one starts a NEW session in the native half-open-window form."""
+    from logstash_integration_jdbc_spark.operators.aggregate import (
+        sessionize_native,
+    )
+
+    df = spark.createDataFrame(
+        [("u", "2024-01-01 00:00:00"), ("u", "2024-01-01 00:30:00")],
+        "user_id string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    sess = sessionize_native(df, gap="30 minutes").collect()
+    assert len(sess) == 2
