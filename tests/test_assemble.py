@@ -71,15 +71,19 @@ def test_sessionize_native_matches_lag_form(spark):
 
 
 def test_sessionize_native_exact_gap_boundary(spark):
-    """Documented divergence: an event exactly `gap` after the previous
-    one starts a NEW session in the native half-open-window form."""
+    """An event exactly `gap` after the previous one MERGES (Spark
+    merges touching windows) — same as the lag `>` form; one past the
+    gap starts a new session."""
     from logstash_integration_jdbc_spark.operators.aggregate import (
         sessionize_native,
     )
 
     df = spark.createDataFrame(
-        [("u", "2024-01-01 00:00:00"), ("u", "2024-01-01 00:30:00")],
+        [("u", "2024-01-01 00:00:00"), ("u", "2024-01-01 00:30:00"),
+         ("v", "2024-01-01 00:00:00"), ("v", "2024-01-01 00:30:00.000001")],
         "user_id string, ts string",
     ).withColumn("ts", F.col("ts").cast("timestamp"))
-    sess = sessionize_native(df, gap="30 minutes").collect()
-    assert len(sess) == 2
+    per_user = {}
+    for r in sessionize_native(df, gap="30 minutes").collect():
+        per_user[r.user_id] = per_user.get(r.user_id, 0) + 1
+    assert per_user == {"u": 1, "v": 2}
