@@ -721,3 +721,88 @@ def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
         .filter(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def dedup_components(pairs: DataFrame, id_a: str = "id_a",
+                     id_b: str = "id_b", max_iter: int = 12) -> DataFrame:
+    """Connected components over near-dup PAIRS → (id, component) where
+    component = the smallest id reachable from ``id``.
+
+    The missing step between pair emission (minhash/simhash/embedding
+    near-dup all return pairs) and actually DROPPING duplicates: near-
+    dups are transitive in practice (A≈B, B≈C ⇒ keep one of {A,B,C}),
+    so the keep-set is one representative per connected component, not
+    per pair.
+
+    Algorithm: iterative min-label propagation (the standard large-
+    scale CC formulation) — every node starts labeled with itself; each
+    round takes the min of its own and its neighbors' labels (one join
+    + one groupBy-min per round). Rounds needed = graph diameter;
+    near-dup graphs are overwhelmingly tiny cliques and short chains,
+    so convergence is typically 2-4 rounds — the loop checks an O(1)
+    changed-count aggregate per round and stops early, raising if
+    ``max_iter`` rounds don't converge (a pathology worth surfacing,
+    not truncating silently). Each round shuffles only (node, label)
+    pairs — never text or vectors.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    cur = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(cur.select(F.col("id").alias("dst"), "component"),
+                           "dst")
+                .groupBy("src").agg(F.min("component").alias("__nbr"))
+                .withColumnRenamed("src", "id")
+            )
+            # localCheckpoint (eager) BOTH caches the round's result and
+            # TRUNCATES its logical plan — an iterative loop that only
+            # persists keeps nesting the plan tree and dies in the
+            # analyzer after ~10 rounds (measured: OOM generating the
+            # plan string). Checkpointed blocks are reclaimed by the
+            # context cleaner once unreferenced.
+            nxt = (
+                cur.select("id", "component").join(neighbor_min, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("__nbr"), F.col("component")),
+                    ).alias("component"),
+                    (F.col("__nbr") < F.col("component")).alias("__chg"),
+                )
+            ).localCheckpoint()
+            changed = nxt.agg(
+                F.sum(F.when(F.col("__chg"), 1).otherwise(0))).first()[0]
+            cur = nxt.select("id", "component")
+            if not changed:
+                return cur
+        raise RuntimeError(
+            f"dedup_components did not converge in {max_iter} rounds — "
+            "the pair graph has an unexpectedly long chain; raise max_iter")
+    finally:
+        edges.unpersist()
+
+
+def keep_representatives(df: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id",
+                         id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Drop every near-dup except the min-id representative of its
+    connected component: the end-to-end "dedup the corpus" form.
+    Rows never mentioned in ``pairs`` pass through untouched (an
+    anti-join against the non-representative member set — the only
+    full-corpus operation, and it carries bare ids)."""
+    comps = dedup_components(pairs, id_a, id_b)
+    losers = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col))
+    return df.join(losers, id_col, "left_anti")

@@ -352,3 +352,54 @@ def test_contamination_benchmark_broadcast_plan(spark):
     bench = corpus.filter(F.col("doc_id") % 50 == 0)
     plan = contamination_pairs(corpus, bench)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_dedup_components_chains_and_cliques(spark):
+    from logstash_integration_jdbc_spark.operators.dedup import (
+        dedup_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3),            # chain → component 1
+         (10, 11), (10, 12), (11, 12),  # clique → component 10
+         (20, 21)],                 # pair → component 20
+        "id_a bigint, id_b bigint",
+    )
+    comps = {r.id: r.component for r in dedup_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_components_convergence_guard(spark):
+    import pytest as _pytest
+
+    from logstash_integration_jdbc_spark.operators.dedup import (
+        dedup_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a bigint, id_b bigint")
+    with _pytest.raises(RuntimeError, match="converge"):
+        dedup_components(chain, max_iter=3)
+    comps = {r.id: r.component for r in
+             dedup_components(chain, max_iter=15).collect()}
+    assert set(comps.values()) == {0} and len(comps) == 13
+
+
+def test_keep_representatives_end_to_end(spark):
+    from logstash_integration_jdbc_spark.operators.dedup import (
+        keep_representatives,
+        minhash_lsh_candidates,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today ok"),
+         (2, "the quick brown fox jumps over the lazy dog today ok"),
+         (3, "the quick brown fox jumps over the lazy dog today eh"),
+         (9, "completely different text with no shared shingles at all")],
+        "doc_id bigint, text string",
+    )
+    pairs = minhash_lsh_candidates(docs).filter(F.col("jaccard") >= 0.7)
+    kept = sorted(r.doc_id for r in
+                  keep_representatives(docs, pairs).collect())
+    # 1,2,3 form one near-dup component → min id 1 survives; 9 untouched
+    assert kept == [1, 9]
