@@ -1161,7 +1161,16 @@ def _write_pipeline_input(spark):
                     try:
                         _os.rename(tmp, _PIPELINE_ORACLE_DIR)
                     except OSError:
-                        pass
+                        # a racer may have renamed between our rmtree and
+                        # rename — fine iff a complete tree now exists;
+                        # otherwise BOTH renames failed and no usable dir
+                        # remains, so fail here at build time rather than
+                        # as a later oracle read error
+                        if not _os.path.exists(marker):
+                            raise RuntimeError(
+                                "pipeline oracle fixture build failed: "
+                                f"could not install {_PIPELINE_ORACLE_DIR} "
+                                "and no completed tree (marker) exists")
         finally:
             _sh.rmtree(tmp, ignore_errors=True)
     return tr

@@ -25,6 +25,11 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 _REF_RE = re.compile(r"%\{([^}]+)\}")
+# Classification twin of the reference's index('%{')/index('}') probe
+# (parameter_handler.rb:26): unlike _REF_RE it accepts the degenerate
+# empty ref "%{}" so classify_bind_value matches the reference bit-level
+# on malformed inputs (interpolate_expr still substitutes nothing there).
+_REF_ANY_RE = re.compile(r"%\{[^}]*\}")
 
 
 def field_ref(ref: str) -> Column:
@@ -69,7 +74,7 @@ def classify_bind_value(value: Any) -> str:
     other string is a constant."""
     if not isinstance(value, str):
         return "constant"
-    if _REF_RE.search(value):
+    if _REF_ANY_RE.search(value):
         return "interpolated"
     if re.fullmatch(r"(\s*\[[^\]]+\]\s*)*", value):
         return "field"

@@ -471,6 +471,7 @@ def split_jpeg_frames(payload: bytes) -> list[tuple[int, int]]:
         start = pos
         pos += 2
         in_scan = False
+        eoi_seen = False
         while pos < n:
             if not in_scan:
                 if payload[pos] != 0xFF:
@@ -480,6 +481,7 @@ def split_jpeg_frames(payload: bytes) -> list[tuple[int, int]]:
                 marker = payload[pos + 1]
                 pos += 2
                 if marker == 0xD9:  # EOI — empty frame (no SOS); done
+                    eoi_seen = True
                     break
                 if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
                     continue
@@ -496,10 +498,18 @@ def split_jpeg_frames(payload: bytes) -> list[tuple[int, int]]:
                         continue
                     if nxt == 0xD9:
                         pos += 2
+                        eoi_seen = True
                         break
                     in_scan = False  # e.g. DNL — rewalk as a segment
                     continue
                 pos += 1
+        if not eoi_seen:
+            # scan (or a header segment) ran off the end of the payload
+            # without EOI — surface the corruption here instead of as a
+            # confusing decode error on the half-frame downstream
+            raise ValueError(
+                f"truncated M-JPEG frame at offset {start}: "
+                "payload ended before EOI")
         frames.append((start, pos))
     return frames
 

@@ -318,11 +318,16 @@ def minhash_lsh_candidates(
             F.explode(F.expr("slice(__ids, __i + 2, size(__ids))")).alias("id_b"),
         )
         .distinct()
-        # persisted: the candidate PAIR set is small by design (bounded
-        # by the banding precision) and feeds two branches below — the
-        # id-prune and the verify join — which would otherwise recompute
-        # the whole shingle+signature+band pipeline once each.
-        .persist()
+        # Materialized eagerly: the candidate PAIR set is small by
+        # design (bounded by the banding precision) and feeds two
+        # branches below — the id-prune and the verify join — which
+        # would otherwise recompute the whole shingle+signature+band
+        # pipeline once each. localCheckpoint (not persist) because its
+        # RDD blocks are reclaimed by the ContextCleaner when the
+        # DataFrame is dropped, whereas CacheManager entries from
+        # persist() accumulate across calls until an explicit unpersist
+        # the lazy API gives callers no natural point to issue.
+        .localCheckpoint(eager=True)
     )
     # Verify only the docs that appear in some candidate pair: shingling
     # is the measured hot spot (interpreted higher-order exprs), and

@@ -39,11 +39,11 @@ def split_by_hash(df: DataFrame, key: Column,
     conversation/document); realized proportions converge on the
     fractions as distinct keys grow. Map-only CASE expression.
     """
+    if not fractions:
+        raise ValueError("fractions must not be empty")
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {total}")
-    if not fractions:
-        raise ValueError("fractions must not be empty")
     u = hash_uniform(key, seed)
     items = list(fractions.items())
     expr = None

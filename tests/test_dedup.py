@@ -46,6 +46,16 @@ def test_minhash_finds_exact_and_near(docs):
     assert (0, 3) not in pairs and (3, 4) not in pairs
 
 
+def test_minhash_leaves_no_cache_entries(docs, spark):
+    """ADVICE r4: the candidate-pair materialization must not accumulate
+    CacheManager entries across calls (persist() entries are never
+    GC-reclaimed; localCheckpoint blocks are ContextCleaner-owned)."""
+    spark.catalog.clearCache()
+    for _ in range(2):
+        minhash_lsh_candidates(docs).collect()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 def test_minhash_jaccard_matches_python_oracle(docs):
     def shingles(t, n=3):
         w = t.lower().split()

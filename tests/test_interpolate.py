@@ -59,6 +59,9 @@ def test_classify_bind_value_schemes():
     assert classify_bind_value(" [a] [b] ") == "field"
     assert classify_bind_value("ip") == "constant"
     assert classify_bind_value("tokyo") == "constant"
+    # degenerate empty ref: the reference's index('%{')/index('}') probe
+    # (parameter_handler.rb:26) classifies "%{}" as interpolated (ADVICE r4)
+    assert classify_bind_value("%{}") == "interpolated"
 
 
 def test_prepared_statement_constant_warning(caplog):

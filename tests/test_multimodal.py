@@ -463,6 +463,18 @@ def test_split_jpeg_frames_rejects_garbage():
     f = encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8))
     with _pytest.raises(ValueError, match=str(len(f))):
         split_jpeg_frames(f + b"junk")
+    # entropy data running off the end without EOI → truncation error
+    # naming the frame offset, not a silent half-frame (ADVICE r4)
+    assert f[-2:] == b"\xFF\xD9"
+    with _pytest.raises(ValueError, match="truncated M-JPEG frame at offset 0"):
+        split_jpeg_frames(f[:-2])
+    # second frame truncated → error names ITS offset
+    with _pytest.raises(ValueError,
+                        match=f"truncated M-JPEG frame at offset {len(f)}"):
+        split_jpeg_frames(f + f[:-2])
+    # truncated mid-header (before any SOS) raises too
+    with _pytest.raises(ValueError, match="truncated M-JPEG frame"):
+        split_jpeg_frames(f[:20])
 
 
 def test_gen_media_rejects_unknown_formats(spark):

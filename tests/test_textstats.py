@@ -150,6 +150,9 @@ def test_split_by_hash_determinism_and_leakage(spark):
 
     with _pytest.raises(ValueError, match="sum to 1"):
         split_by_hash(df, F.col("conv"), {"a": 0.5, "b": 0.4})
+    # emptiness has its own message (ADVICE r4: checked BEFORE the sum)
+    with _pytest.raises(ValueError, match="must not be empty"):
+        split_by_hash(df, F.col("conv"), {})
 
 
 def test_pack_sequences_budget_and_determinism(spark):
