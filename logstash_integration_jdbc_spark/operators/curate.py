@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from logstash_integration_jdbc_spark.operators.dedup import (
     exact_dedup_normalized,
+    normalize_text_expr,
 )
 from logstash_integration_jdbc_spark.operators.sampling import split_by_hash
 from logstash_integration_jdbc_spark.operators.textstats import (
@@ -64,17 +65,28 @@ def curation_funnel(
 ) -> DataFrame:
     """One-row funnel report (n_input, n_quality, n_lang, n_dedup) —
     the per-stage survivor counts a curation run should always log.
-    Four scalar aggregates over shared lineage, cross-joined into one
-    row; cheap relative to the pipeline itself."""
+
+    ONE corpus scan (vs the naive four-branches-over-shared-lineage
+    form, which recomputes redact/quality/langid per branch — a 4×
+    scan-cost diagnostic at 100 TB): the stage gates become boolean
+    FLAG columns in a single pass, the stage counts conditional sums of
+    those flags, and ``n_dedup`` a count-distinct of the normalization
+    digest over rows passing both gates (≡ ``exact_dedup_normalized``
+    survivor count — one representative per digest group). Catalyst
+    plans the mixed distinct/non-distinct aggregate as one scan + the
+    digest expand-exchange — the only shuffle, exactly the one the
+    dedup stage itself needs."""
     red = redact_pii(df, text_col=text_col)
-    q = quality_score(red, text_col="text_redacted").filter(
-        F.col("quality") >= min_quality)
-    lg = lang_id(q, text_col="text_redacted").filter(
-        F.col("lang_pred").isin(*languages))
-    dd = exact_dedup_normalized(lg, text_col="text_redacted", id_col=id_col)
-    return (
-        red.agg(F.count(F.lit(1)).alias("n_input"))
-        .crossJoin(q.agg(F.count(F.lit(1)).alias("n_quality")))
-        .crossJoin(lg.agg(F.count(F.lit(1)).alias("n_lang")))
-        .crossJoin(dd.agg(F.count(F.lit(1)).alias("n_dedup")))
+    flags = lang_id(quality_score(red, text_col="text_redacted"),
+                    text_col="text_redacted").select(
+        (F.col("quality") >= min_quality).alias("__q_ok"),
+        F.col("lang_pred").isin(*languages).alias("__l_ok"),
+        F.sha2(normalize_text_expr(F.col("text_redacted")), 256).alias("__h"),
+    )
+    both = F.col("__q_ok") & F.col("__l_ok")
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.count(F.when(F.col("__q_ok"), F.lit(1))).alias("n_quality"),
+        F.count(F.when(both, F.lit(1))).alias("n_lang"),
+        F.count_distinct(F.when(both, F.col("__h"))).alias("n_dedup"),
     )
