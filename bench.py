@@ -344,21 +344,36 @@ def main_bench() -> None:
     per_query["dedup_minhash_8m"] = mh8m["wall_sec"]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # r4 lesson: the driver's tail capture truncated the FRONT of one
+    # long line and lost the machine-readable headline. Split output:
+    # a DETAIL line first (medians, media, minhash breakdowns — also
+    # written to BENCH_DETAIL.json beside this script), then a COMPACT
+    # headline JSON as the very LAST line so tail capture always parses.
+    detail = {
+        "detail": True,
+        "queries_median": per_query_median,
+        "media_decode": media,
+        "minhash_1m": mh,
+        "minhash_8m": mh8m,
+    }
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json"), "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(detail))
     print(json.dumps({
         "metric": "headline_suite_wall",
         "value": round(total, 3),
         "unit": "sec",
         "queries": per_query,
-        "queries_median": per_query_median,
         "reps": BENCH_REPS,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "pipeline_rows": pipe["rows"],
         "pipeline_turns_per_sec": round(pipe["turns_per_sec"], 1),
         "pipeline_8m_rows": pipe8m["rows"],
         "pipeline_8m_turns_per_sec": round(pipe8m["turns_per_sec"], 1),
-        "media_decode": media,
-        "minhash_1m": mh,
-        "minhash_8m": mh8m,
         "cpus": int(cpus),
     }))
 
