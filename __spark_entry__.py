@@ -1112,6 +1112,24 @@ def _q_png_resize(spark, sf_dir):
     )
 
 
+def _q_png_palette(spark, sf_dir):
+    # palette PNG (depth-4 PLTE, per-row filter cycle) through the same
+    # decode→gather→re-encode gate as multimodal_png_resize: the oracle
+    # rebuilds expected pixels as pal[idx] from the deterministic spec,
+    # so PLTE lookup / sub-byte unpack / defilter bugs break the md5.
+    from logstash_integration_jdbc_spark.operators.multimodal import (
+        gen_media,
+        resize_images,
+    )
+
+    _pin(spark)
+    out = resize_images(gen_media(spark, n_rows=300, image_format="png-palette"),
+                        out_w=7, out_h=5)
+    return out.select(
+        "media_id", "width", "height", F.md5(F.col("payload")).alias("payload_md5")
+    )
+
+
 # Location for the deterministic generated pipeline input: the query
 # functions write it once (build-in-temp + atomic rename — the content
 # is a pure function of (n_rows=5000, seed=42), so a dir carrying the
@@ -1336,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_mjpeg_frames": _q_mjpeg_frames,
         "multimodal_resize": _q_resize,
         "multimodal_png_resize": _q_png_resize,
+        "multimodal_png_palette": _q_png_palette,
         "multimodal_jpeg_solid": _q_jpeg_solid,
         "multimodal_jpeg_textured": _q_jpeg_textured,
         "streaming_counts": _q_streaming_counts,
@@ -2419,6 +2438,34 @@ def oracle_sql() -> dict[str, str]:
     pvals = ", ".join(f"(CAST({m} AS BIGINT), {pw}, {ph}, '{d}')" for m, d in prows)
     q["multimodal_png_resize"] = (
         f"SELECT * FROM (VALUES {pvals}) t(media_id, width, height, payload_md5)"
+    )
+    # Palette PNG (depth-4 indexed, all five filters cycling at fu=1):
+    # expected RGB is the pure-Python pal[idx] lookup from the same
+    # deterministic spec — PLTE resolution, sub-byte unpacking, and
+    # byte-level defiltering all run only on the Spark side.
+    from logstash_integration_jdbc_spark.operators.multimodal import (
+        build_palette_pixels,
+    )
+
+    plw, plh = 7, 5
+    plrows = []
+    for i in range(300):
+        s = _row_spec(i, 42)
+        if s["kind"] != "image":
+            continue
+        w, h = s["width"], s["height"]
+        pal, idx = build_palette_pixels(i, 42, w, h)
+        rgb = pal[idx]  # (h, w, 3)
+        import numpy as _np
+
+        rs = (_np.arange(plh) * h) // plh
+        cs = (_np.arange(plw) * w) // plw
+        payload = encode_png(_np.ascontiguousarray(rgb[rs][:, cs]))
+        plrows.append((i, _hl.md5(payload).hexdigest()))
+    plvals = ", ".join(f"(CAST({m} AS BIGINT), {plw}, {plh}, '{d}')"
+                       for m, d in plrows)
+    q["multimodal_png_palette"] = (
+        f"SELECT * FROM (VALUES {plvals}) t(media_id, width, height, payload_md5)"
     )
     # JPEG solid-gray decode: the expected pixel value is analytic (the
     # encoded constant) — zero codec code on the oracle side.

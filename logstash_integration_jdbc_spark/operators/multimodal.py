@@ -6,10 +6,11 @@ Arrow-batched ``mapInPandas`` stages. The container ships no image/audio
 libraries, so the REAL kernels are pure-stdlib decoders of real public
 formats:
 
-- image: binary PPM (P6) — header parse + pixel-stat features; 8-bit
-  PNG (gray/RGB/RGBA, non-interlaced): zlib-inflated IDAT with full
-  scanline-filter reconstruction, plus a minimal PNG encoder for the
-  resize path; and baseline JPEG (SOF0, gray/YCbCr, restart markers,
+- image: binary PPM (P6) — header parse + pixel-stat features; PNG
+  (every non-interlaced color-type/depth combination: gray 1/2/4/8/16,
+  RGB 8/16, palette 1/2/4/8 via PLTE, gray+alpha and RGBA): zlib-
+  inflated IDAT with full scanline-filter reconstruction, plus a
+  minimal PNG encoder for the resize path; and baseline JPEG (SOF0, gray/YCbCr, restart markers,
   sampling factors ≤2) via the pure-stdlib huffman+IDCT codec in
   ``functions/jpeg.py``;
 - audio: RIFF/WAVE PCM16 — chunk-walked fmt/data parse + RMS/duration;
@@ -22,8 +23,8 @@ formats:
 default (non-fake) path decodes real bytes end-to-end. ``fake=True``
 keeps the hash-derived stand-in kernels for plumbing tests and for
 payload formats the stdlib can't decode (MP4, progressive/12-bit
-JPEG, and exotic PNGs raise ``NotImplementedError`` naming the
-library to plug in).
+JPEG, and Adam7-interlaced PNG raise ``NotImplementedError`` naming
+the library to plug in).
 
 Scale notes: binary payloads dominate row size, so all plumbing
 repartitions by a size-aware key before the Python stage (Arrow batches
@@ -150,12 +151,84 @@ def build_image_pixels(media_id: int, seed: int, width: int, height: int):
     ).reshape(height, width, 3)
 
 
+def build_palette_pixels(media_id: int, seed: int, width: int, height: int):
+    """Deterministic (palette, index) pair for the palette-PNG fixture:
+    16 RGB colors + an (h, w) depth-4 index image, both pure functions
+    of (media_id, seed) so oracle twins recompute expected RGB without
+    touching the decoder."""
+    import numpy as np
+
+    pal = np.frombuffer(_pixel_bytes(media_id, seed, 48, salt=7),
+                        dtype=np.uint8).reshape(16, 3)
+    idx = (np.frombuffer(_pixel_bytes(media_id, seed, width * height, salt=8),
+                         dtype=np.uint8) % 16).reshape(height, width)
+    return pal, idx
+
+
+def build_palette_png(media_id: int, seed: int, width: int, height: int) -> bytes:
+    """Palette-PNG fixture: depth-4 indexed color (two pixels per byte,
+    the most common sub-byte shape) with the per-row filter type cycling
+    through all five spec filters at filter unit 1 — so the driver gate
+    exercises PLTE resolution, sub-byte unpacking, AND byte-level
+    defiltering on every image."""
+    import zlib
+
+    import numpy as np
+
+    pal, idx = build_palette_pixels(media_id, seed, width, height)
+    byte_rows = []
+    for y in range(height):
+        line = idx[y]
+        pair = line[: width - (width % 2)].reshape(-1, 2)
+        row = bytearray((pair[:, 0] << 4 | pair[:, 1]).astype(np.uint8).tobytes())
+        if width % 2:
+            row.append(int(line[-1]) << 4)
+        byte_rows.append(bytes(row))
+    stride = len(byte_rows[0])
+    raw = bytearray()
+    prev = [0] * stride
+    for y, rec in enumerate(byte_rows):
+        rec = list(rec)
+        f = y % 5
+        raw.append(f)
+        for x in range(stride):
+            a = rec[x - 1] if x >= 1 else 0
+            b = prev[x]
+            c = prev[x - 1] if x >= 1 else 0
+            if f == 0:
+                v = rec[x]
+            elif f == 1:
+                v = rec[x] - a
+            elif f == 2:
+                v = rec[x] - b
+            elif f == 3:
+                v = rec[x] - ((a + b) >> 1)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = rec[x] - pred
+            raw.append(v & 0xFF)
+        prev = rec
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 4, 3, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"PLTE", pal.tobytes())
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+
+
 def build_payload(spec: dict, seed: int, image_format: str = "ppm",
                   video_format: str = "ppm") -> bytes:
     if spec["kind"] == "image":
         if image_format == "png":
             return encode_png(build_image_pixels(
                 spec["media_id"], seed, spec["width"], spec["height"]))
+        if image_format == "png-palette":
+            return build_palette_png(
+                spec["media_id"], seed, spec["width"], spec["height"])
         if image_format == "jpeg":
             from logstash_integration_jdbc_spark.functions.jpeg import encode_jpeg
 
@@ -180,7 +253,7 @@ def gen_media(spark, n_rows: int = 100, seed: int = 42,
     ``image_format`` "png"/"jpeg" emits images as real zlib-compressed
     PNGs / baseline JPEGs; ``video_format="mjpeg"`` emits videos as
     motion-JPEG — concatenated real baseline JPEGs)."""
-    if image_format not in ("ppm", "png", "jpeg"):
+    if image_format not in ("ppm", "png", "png-palette", "jpeg"):
         raise ValueError(f"unsupported image_format {image_format!r}")
     if video_format not in ("ppm", "mjpeg"):
         raise ValueError(f"unsupported video_format {video_format!r}")
@@ -192,7 +265,8 @@ def gen_media(spark, n_rows: int = 100, seed: int = 42,
                 spec = _row_spec(int(mid), seed)
                 mime = _MIMES[spec["kind"]]
                 if spec["kind"] == "image" and image_format != "ppm":
-                    mime = f"image/{image_format}"
+                    mime = ("image/png" if image_format == "png-palette"
+                            else f"image/{image_format}")
                 if spec["kind"] == "video" and video_format == "mjpeg":
                     mime = "video/x-motion-jpeg"
                 rows.append({
@@ -224,15 +298,19 @@ def parse_png(payload: bytes):
 
     Real format, real decoder: zlib (stdlib) inflates the IDAT stream and
     the five scanline filters (None/Sub/Up/Average/Paeth) reconstruct
-    per the PNG spec. Supported: 8-bit depth, color types 0 (gray),
-    2 (RGB), 6 (RGBA), non-interlaced — i.e. what `zlib`-only decoding
-    can cover; palette/16-bit/interlaced raise ``NotImplementedError``
-    naming Pillow. Gray expands and alpha drops so every caller sees
-    RGB. Filters Sub/Up use vectorized numpy (Sub is a mod-256 cumsum
-    along x); Average/Paeth are sequential along x by construction and
-    run as a Python-list loop (measured faster than every numpy
-    formulation at ch ≤ 4); a production build swaps Pillow into the
-    same contract.
+    per the PNG spec. Supported: every NON-INTERLACED shape the spec
+    allows — color types 0 (gray, depths 1/2/4/8/16), 2 (RGB, 8/16),
+    3 (palette via PLTE, 1/2/4/8), 4 (gray+alpha, 8/16), 6 (RGBA,
+    8/16); Adam7 interlace raises ``NotImplementedError`` naming
+    Pillow. 16-bit narrows to the high byte, sub-byte gray scales to
+    full range, palette indices resolve through PLTE, gray expands and
+    alpha drops so every caller sees 8-bit RGB. Filtering operates on
+    BYTES with the spec's filter unit (bpp = max(1, depth·ch/8)):
+    Sub/Up are vectorized numpy (Sub is a mod-256 cumsum along x);
+    Average/Paeth are sequential along x by construction and run as a
+    Python-list loop (measured faster than every numpy formulation at
+    small filter units); a production build swaps Pillow into the same
+    contract.
     """
     import zlib
 
@@ -240,12 +318,14 @@ def parse_png(payload: bytes):
 
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
-    pos, idat, ihdr = 8, [], None
+    pos, idat, ihdr, plte = 8, [], None, None
     while pos + 8 <= len(payload):
         (length,), ctype = struct.unpack_from(">I", payload, pos), payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + length]
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = body
         elif ctype == b"IDAT":
             idat.append(body)
         elif ctype == b"IEND":
@@ -254,14 +334,20 @@ def parse_png(payload: bytes):
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace != 0 or color not in (0, 2, 6):
+    valid_depths = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                    4: (8, 16), 6: (8, 16)}
+    if color not in valid_depths or depth not in valid_depths[color]:
+        raise ValueError(f"invalid PNG depth={depth} color_type={color}")
+    if interlace != 0:
         raise NotImplementedError(
-            f"PNG depth={depth} color_type={color} interlace={interlace} "
-            "needs Pillow; stdlib path covers 8-bit gray/RGB/RGBA non-interlaced"
-        )
-    ch = {0: 1, 2: 3, 6: 4}[color]
+            "Adam7-interlaced PNG needs Pillow; stdlib path covers every "
+            "non-interlaced color-type/depth combination")
+    if color == 3 and (plte is None or len(plte) % 3):
+        raise ValueError("palette PNG missing/malformed PLTE")
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     raw = zlib.decompress(b"".join(idat))
-    stride = w * ch
+    stride = (w * ch * depth + 7) // 8     # bytes per scanline
+    fu = max(1, (ch * depth) // 8)         # spec filter unit (bpp)
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG IDAT length mismatch")
     out = np.zeros((h, stride), dtype=np.uint8)
@@ -272,8 +358,8 @@ def parse_png(payload: bytes):
                              count=stride, offset=y * (stride + 1) + 1)
         if f == 0:            # None
             rec = line.copy()
-        elif f == 1:          # Sub: mod-256 cumsum per channel lane
-            rec = np.cumsum(line.reshape(w, ch).astype(np.uint64),
+        elif f == 1:          # Sub: mod-256 cumsum per filter-unit lane
+            rec = np.cumsum(line.reshape(stride // fu, fu).astype(np.uint64),
                             axis=0).astype(np.uint8).reshape(stride)
         elif f == 2:          # Up
             rec = line + prev
@@ -283,19 +369,19 @@ def parse_png(payload: bytes):
             # over PYTHON LISTS — measured ~4× faster than the same loop
             # with numpy scalar indexing and ~10× faster than a
             # per-pixel numpy-vector-over-lanes formulation (per-element
-            # numpy access/alloc overhead dominates at ch ≤ 4).
+            # numpy access/alloc overhead dominates at small units).
             ln = line.tolist()
             pv = prev.tolist()
             rl = [0] * stride
             if f == 3:
                 for x in range(stride):
-                    a = rl[x - ch] if x >= ch else 0
+                    a = rl[x - fu] if x >= fu else 0
                     rl[x] = (ln[x] + ((a + pv[x]) >> 1)) & 0xFF
             else:
                 for x in range(stride):
-                    a = rl[x - ch] if x >= ch else 0
+                    a = rl[x - fu] if x >= fu else 0
                     b = pv[x]
-                    c = pv[x - ch] if x >= ch else 0
+                    c = pv[x - fu] if x >= fu else 0
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -305,9 +391,29 @@ def parse_png(payload: bytes):
             raise ValueError(f"bad PNG filter byte {f}")
         out[y] = rec
         prev = rec
-    px = out.reshape(h, w, ch)
-    if ch == 1:
-        px = np.repeat(px, 3, axis=2)
+    if depth == 16:
+        samples = (out.reshape(h, stride).view(">u2") >> 8).astype(np.uint8)
+        px = samples.reshape(h, w, ch)
+    elif depth < 8:
+        # unpack sub-byte samples: each byte holds 8/depth of them,
+        # most significant first; trailing pad bits drop with [:, :w]
+        per = 8 // depth
+        shifts = (np.arange(per - 1, -1, -1, dtype=np.uint8) * depth)
+        vals = (out[:, :, None] >> shifts[None, None, :]) & ((1 << depth) - 1)
+        samples = vals.reshape(h, stride * per)[:, : w * ch]
+        px = samples.reshape(h, w, ch)
+        if color == 0:  # scale 1/2/4-bit gray to full 8-bit range
+            px = (px.astype(np.uint16) * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    else:
+        px = out.reshape(h, w, ch)
+    if color == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("palette PNG index out of PLTE range")
+        return w, h, pal[idx]
+    if ch in (1, 2):   # gray / gray+alpha → replicate gray
+        px = np.repeat(px[:, :, :1], 3, axis=2)
     elif ch == 4:
         px = px[:, :, :3]
     return w, h, px
@@ -432,8 +538,8 @@ def extract_image_features(df: DataFrame, dim: int = 32, fake: bool = False) -> 
                 else:
                     raise NotImplementedError(
                         f"image decode for {meta['mime']!r} requires Pillow/"
-                        "torchvision; P6 PPM, 8-bit PNG and baseline JPEG "
-                        "decode stdlib-side"
+                        "torchvision; P6 PPM, non-interlaced PNG and "
+                        "baseline JPEG decode stdlib-side"
                     )
                 rows["media_id"].append(mid)
                 rows["width"].append(w)
@@ -600,7 +706,8 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 else:
                     raise NotImplementedError(
                         f"image resize for {meta['mime']!r} requires Pillow; "
-                        "P6 PPM, 8-bit PNG and baseline JPEG decode stdlib-side"
+                        "P6 PPM, non-interlaced PNG and baseline JPEG "
+                        "decode stdlib-side"
                     )
                 rs = (np.arange(out_h, dtype=np.int64) * h) // out_h
                 cs = (np.arange(out_w, dtype=np.int64) * w) // out_w

@@ -353,6 +353,184 @@ class TestPngCodec:
         with _pytest.raises(NotImplementedError, match="Pillow"):
             parse_png(interlaced)
 
+    @staticmethod
+    def _raw_png(byte_rows, w, h, depth, color, filters, plte=None, fu=1):
+        """Build a PNG from pre-packed scanline BYTES, applying the given
+        per-row filter cycle at filter unit ``fu`` (inverse of the
+        decoder's generic byte-level defilter)."""
+        import struct as st
+        import zlib
+
+        def chunk(ct, body):
+            return (st.pack(">I", len(body)) + ct + body
+                    + st.pack(">I", zlib.crc32(ct + body) & 0xFFFFFFFF))
+
+        stride = len(byte_rows[0])
+        raw = bytearray()
+        prev = [0] * stride
+        for y, line in enumerate(byte_rows):
+            line = list(line)
+            f = filters[y % len(filters)]
+            raw.append(f)
+            for x in range(stride):
+                a = line[x - fu] if x >= fu else 0
+                b = prev[x]
+                c = prev[x - fu] if x >= fu else 0
+                if f == 0:
+                    v = line[x]
+                elif f == 1:
+                    v = line[x] - a
+                elif f == 2:
+                    v = line[x] - b
+                elif f == 3:
+                    v = line[x] - ((a + b) >> 1)
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    v = line[x] - pred
+                raw.append(v & 0xFF)
+            prev = line
+        out = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", st.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)))
+        if plte is not None:
+            out += chunk(b"PLTE", bytes(plte))
+        return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+    def test_palette_png_decodes_through_plte(self):
+        import numpy as np
+
+        from logstash_integration_jdbc_spark.operators.multimodal import parse_png
+
+        pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]],
+                       dtype=np.uint8)
+        rng = np.random.RandomState(5)
+        idx = rng.randint(0, 4, size=(9, 7), dtype=np.uint8)
+        # 8-bit indices, every filter (fu=1 path)
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            blob = self._raw_png([idx[y].tobytes() for y in range(9)],
+                                 7, 9, 8, 3, filters, plte=pal.tobytes())
+            w, h, got = parse_png(blob)
+            assert (w, h) == (7, 9) and np.array_equal(got, pal[idx]), filters
+
+    def test_palette_png_subbyte_depths(self):
+        import numpy as np
+
+        from logstash_integration_jdbc_spark.operators.multimodal import parse_png
+
+        pal = np.array([[1, 2, 3], [40, 50, 60], [200, 100, 0], [9, 9, 9]],
+                       dtype=np.uint8)
+        idx = np.array([[0, 1, 2, 3, 2], [3, 3, 0, 1, 0],
+                        [2, 0, 1, 1, 3]], dtype=np.uint8)
+        for depth in (1, 2, 4):
+            use = idx % (1 << depth) if depth == 1 else idx
+            per = 8 // depth
+            rows = []
+            for y in range(3):
+                acc, row = 0, bytearray()
+                for i, v in enumerate(use[y]):
+                    acc = (acc << depth) | int(v)
+                    if (i + 1) % per == 0:
+                        row.append(acc); acc = 0
+                rem = len(use[y]) % per
+                if rem:
+                    row.append(acc << (depth * (per - rem)))
+                rows.append(bytes(row))
+            blob = self._raw_png(rows, 5, 3, depth, 3, [0, 1, 2],
+                                 plte=pal.tobytes())
+            w, h, got = parse_png(blob)
+            assert (w, h) == (5, 3) and np.array_equal(got, pal[use]), depth
+
+    def test_palette_png_index_out_of_range(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from logstash_integration_jdbc_spark.operators.multimodal import parse_png
+
+        pal = np.array([[1, 2, 3]], dtype=np.uint8)  # 1 entry, index 5 invalid
+        blob = self._raw_png([b"\x05"], 1, 1, 8, 3, [0], plte=pal.tobytes())
+        with _pytest.raises(ValueError, match="PLTE range"):
+            parse_png(blob)
+
+    def test_16bit_png_narrows_to_high_byte(self):
+        import numpy as np
+
+        from logstash_integration_jdbc_spark.operators.multimodal import parse_png
+
+        rng = np.random.RandomState(6)
+        hi = rng.randint(0, 256, size=(4, 3, 3), dtype=np.uint16)
+        samples = ((hi << 8) | rng.randint(0, 256, size=hi.shape)).astype(">u2")
+        rows = [samples[y].tobytes() for y in range(4)]
+        for filters in ([0], [1], [4]):
+            w, h, got = parse_png(self._raw_png(rows, 3, 4, 16, 2,
+                                                filters, fu=6))
+            assert (w, h) == (3, 4) and np.array_equal(got, hi.astype(np.uint8))
+        # 16-bit gray replicates its high byte across RGB
+        g = np.array([[0x1234, 0xFFee], [0x0001, 0x8000]], dtype=">u2")
+        w, h, got = parse_png(self._raw_png(
+            [g[y].tobytes() for y in range(2)], 2, 2, 16, 0, [0, 2], fu=2))
+        want = (g.astype(np.uint16) >> 8).astype(np.uint8)
+        assert np.array_equal(got, np.repeat(want[:, :, None], 3, axis=2))
+
+    def test_subbyte_gray_png_scales_to_full_range(self):
+        import numpy as np
+
+        from logstash_integration_jdbc_spark.operators.multimodal import parse_png
+
+        # depth 1: bits 1,0,1,1,0 → 255,0,255,255,0 (packed MSB-first)
+        blob = self._raw_png([bytes([0b10110000])], 5, 1, 1, 0, [0])
+        _w, _h, got = parse_png(blob)
+        assert got[0, :, 0].tolist() == [255, 0, 255, 255, 0]
+        # depth 2: 0..3 → 0,85,170,255
+        blob = self._raw_png([bytes([0b00011011])], 4, 1, 2, 0, [0])
+        _w, _h, got = parse_png(blob)
+        assert got[0, :, 1].tolist() == [0, 85, 170, 255]
+        # depth 4: v*17
+        blob = self._raw_png([bytes([0xAF, 0x30])], 3, 1, 4, 0, [0])
+        _w, _h, got = parse_png(blob)
+        assert got[0, :, 2].tolist() == [0xA * 17, 0xF * 17, 0x3 * 17]
+
+    def test_gray_alpha_png(self):
+        import numpy as np
+
+        from logstash_integration_jdbc_spark.operators.multimodal import parse_png
+
+        ga = np.array([[[10, 200], [20, 0]], [[30, 128], [40, 255]]],
+                      dtype=np.uint8)
+        rows = [ga[y].tobytes() for y in range(2)]
+        for filters in ([0], [1], [3, 4]):
+            _w, _h, got = parse_png(self._raw_png(rows, 2, 2, 8, 4,
+                                                  filters, fu=2))
+            assert np.array_equal(got, np.repeat(ga[:, :, :1], 3, axis=2))
+
+    def test_build_palette_png_roundtrip(self):
+        import numpy as np
+
+        from logstash_integration_jdbc_spark.operators.multimodal import (
+            build_palette_pixels,
+            build_palette_png,
+            parse_png,
+        )
+
+        for mid, (wd, ht) in [(0, (9, 6)), (3, (8, 5)), (11, (16, 12))]:
+            pal, idx = build_palette_pixels(mid, 42, wd, ht)
+            w, h, got = parse_png(build_palette_png(mid, 42, wd, ht))
+            assert (w, h) == (wd, ht) and np.array_equal(got, pal[idx])
+
+    def test_png_invalid_depth_color_combo_rejected(self):
+        import pytest as _pytest
+
+        from logstash_integration_jdbc_spark.operators.multimodal import parse_png
+
+        # palette PNG at depth 16 is illegal per spec → ValueError, and a
+        # palette image without PLTE is malformed
+        blob = self._raw_png([b"\x00\x00"], 1, 1, 16, 3, [0], plte=b"\x01\x02\x03")
+        with _pytest.raises(ValueError, match="invalid PNG depth"):
+            parse_png(blob)
+        blob = self._raw_png([b"\x00"], 1, 1, 8, 3, [0])
+        with _pytest.raises(ValueError, match="PLTE"):
+            parse_png(blob)
+
     def test_spark_png_features_and_resize(self, spark):
         """Real PNG bytes through the mapInPandas kernels: features equal
         the independent bucket means; resize emits decodable PNG with the
