@@ -334,11 +334,11 @@ class TestPngCodec:
         _w, _h, got = parse_png(self._filtered_png(rgba, [0]))
         assert got.shape == (3, 4, 3) and np.array_equal(got, rgba[:, :, :3])
 
-    def test_unsupported_png_names_pillow(self):
+    def test_adam7_interlaced_decodes(self):
         import struct as st
         import zlib
 
-        import pytest as _pytest
+        import numpy as np
 
         from logstash_integration_jdbc_spark.operators.multimodal import parse_png
 
@@ -346,12 +346,89 @@ class TestPngCodec:
             return (st.pack(">I", len(body)) + ct
                     + body + st.pack(">I", zlib.crc32(ct + body) & 0xFFFFFFFF))
 
-        interlaced = (b"\x89PNG\r\n\x1a\n"
-                      + chunk(b"IHDR", st.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
-                      + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
-                      + chunk(b"IEND", b""))
-        with _pytest.raises(NotImplementedError, match="Pillow"):
-            parse_png(interlaced)
+        def adam7_blob(px, depth, color, plte=None, filters=(0,)):
+            passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+            h, w, ch = px.shape
+            fu = max(1, (ch * depth) // 8)
+            raw = bytearray()
+            fi = 0
+            for xs, ys, xst, yst in passes:
+                sub = px[ys::yst, xs::xst]
+                if sub.shape[0] == 0 or sub.shape[1] == 0:
+                    continue
+                hp = sub.shape[0]
+                # pack this pass's scanlines to bytes
+                lines = []
+                for y in range(hp):
+                    flat = sub[y].reshape(-1)
+                    if depth == 16:
+                        lines.append(flat.astype(">u2").tobytes())
+                    elif depth < 8:
+                        per = 8 // depth
+                        row, acc, nb = bytearray(), 0, 0
+                        for v in flat:
+                            acc = (acc << depth) | int(v)
+                            nb += 1
+                            if nb == per:
+                                row.append(acc); acc = nb = 0
+                        if nb:
+                            row.append(acc << (depth * (per - nb)))
+                        lines.append(bytes(row))
+                    else:
+                        lines.append(flat.astype(np.uint8).tobytes())
+                # filter per pass (prev resets each pass)
+                stride = len(lines[0])
+                prev = [0] * stride
+                for y, rec in enumerate(lines):
+                    rec = list(rec)
+                    f = filters[fi % len(filters)]
+                    fi += 1
+                    raw.append(f)
+                    for x in range(stride):
+                        a = rec[x - fu] if x >= fu else 0
+                        b = prev[x]
+                        c = prev[x - fu] if x >= fu else 0
+                        if f == 0:
+                            v = rec[x]
+                        elif f == 1:
+                            v = rec[x] - a
+                        elif f == 2:
+                            v = rec[x] - b
+                        elif f == 3:
+                            v = rec[x] - ((a + b) >> 1)
+                        else:
+                            p = a + b - c
+                            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                            pred = (a if (pa <= pb and pa <= pc)
+                                    else (b if pb <= pc else c))
+                            v = rec[x] - pred
+                        raw.append(v & 0xFF)
+                    prev = rec
+            out = (b"\x89PNG\r\n\x1a\n"
+                   + chunk(b"IHDR", st.pack(">IIBBBBB", w, h, depth, color, 0, 0, 1)))
+            if plte is not None:
+                out += chunk(b"PLTE", bytes(plte))
+            return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+        rng = np.random.RandomState(21)
+        # RGB 8-bit, dims exercising partial passes (non-multiples of 8)
+        for (h, w) in [(13, 11), (8, 8), (3, 5), (1, 1), (2, 9)]:
+            px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            for filters in ((0,), (1,), (2,), (0, 1, 2, 3, 4)):
+                gw, gh, got = parse_png(adam7_blob(px, 8, 2, filters=filters))
+                assert (gw, gh) == (w, h) and np.array_equal(got, px), (h, w, filters)
+        # palette depth-4 interlaced
+        pal = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+        idx = rng.randint(0, 16, size=(10, 7, 1), dtype=np.uint8)
+        _w, _h, got = parse_png(adam7_blob(idx, 4, 3, plte=pal.tobytes(),
+                                           filters=(0, 1)))
+        assert np.array_equal(got, pal[idx[:, :, 0]])
+        # 16-bit gray interlaced narrows to high byte and replicates
+        g16 = rng.randint(0, 65536, size=(9, 6, 1)).astype(np.uint16)
+        _w, _h, got = parse_png(adam7_blob(g16, 16, 0, filters=(0, 2)))
+        want = (g16[:, :, 0] >> 8).astype(np.uint8)
+        assert np.array_equal(got, np.repeat(want[:, :, None], 3, axis=2))
 
     @staticmethod
     def _raw_png(byte_rows, w, h, depth, color, filters, plte=None, fu=1):
