@@ -702,6 +702,22 @@ def _q_simhash(spark, sf_dir):
     return simhash_near_dups(both, max_hamming=3)
 
 
+def _q_dedup_substring(spark, sf_dir):
+    # exact-substring duplication (Lee et al. substring dedup as a
+    # winnowed-anchor join): doubled corpus so every doc shares ALL its
+    # runs with its copy, plus whatever template near-dups share.
+    # Oracle: independent pure-Python winnowing replay over the same
+    # parquet (xxh64 long-chain twin — parity with Spark's xxhash64
+    # pinned by test_xxhash/test_dedup).
+    from logstash_integration_jdbc_spark.operators.dedup import (
+        substring_dup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    both = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    return substring_dup_pairs(both, min_tokens=10, window=4)
+
+
 def _q_token_count(spark, sf_dir):
     from logstash_integration_jdbc_spark.operators.textstats import (
         bpe_ish_token_count,
@@ -1352,10 +1368,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_simhash": _q_simhash,
+        "dedup_substring": _q_dedup_substring,
         "text_token_count": _q_token_count,
         "text_quality": _q_quality,
         "text_langid": _q_langid,
-        "text_fingerprint": _q_fingerprint,
         "text_repetition": _q_text_repetition,
         "text_redact_pii": _q_redact_pii,
         "split_by_hash": _q_split_by_hash,
@@ -1367,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         # -- 3: tail (green on r2-r4 boards; local gate each round) ---
+        "text_fingerprint": _q_fingerprint,
         "s6_positional_sql": _q_positional_sql,
         "conv_assemble_capped": _q_assemble_capped,
         "win_latest_event": _q_latest_event,
@@ -1488,6 +1505,56 @@ def _simhash_oracle_values() -> str:
         f"(CAST({a} AS BIGINT), CAST({b} AS BIGINT), CAST({h} AS INT))"
         for a, b, h in rows
     ) + ") t(id_a, id_b, hamming)"
+
+
+def _substring_oracle_values() -> str:
+    """Expected (id_a, id_b, n_shared_anchors) over the doubled corpus
+    via an independent pure-Python winnowing replay: token xxhash64 →
+    positional 10-gram long-chain hashes → min of each 4-window →
+    distinct anchors → pairwise intersections. Twin parity with Spark's
+    xxhash64 over long columns is pinned by its own test."""
+    from logstash_integration_jdbc_spark.functions.xxhash import (
+        spark_ws_tokens,
+        spark_xxhash64_longs,
+        xxh64_str,
+    )
+
+    L, W = 10, 4
+    docs = _read_docs()
+    both = docs + [(i + 1_000_000, t) for i, t in docs]
+    anchors: dict[int, frozenset] = {}
+    by_text: dict[str, frozenset] = {}
+    for did, text in both:
+        if text not in by_text:
+            th = [xxh64_str(t) for t in spark_ws_tokens(text)]
+            if len(th) < L:
+                a = frozenset()
+            else:
+                g = [spark_xxhash64_longs(th[i:i + L])
+                     for i in range(len(th) - L + 1)]
+                if len(g) < W:
+                    a = frozenset({min(g)})
+                else:
+                    a = frozenset(min(g[j:j + W]) for j in range(len(g) - W + 1))
+            by_text[text] = a
+        anchors[did] = by_text[text]
+    from collections import Counter
+
+    inv: dict[int, list[int]] = {}
+    for did, a in anchors.items():
+        for v in a:
+            inv.setdefault(v, []).append(did)
+    cnt: Counter = Counter()
+    for ds in inv.values():
+        ds.sort()
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                cnt[(ds[i], ds[j])] += 1
+    rows = sorted((a, b, n) for (a, b), n in cnt.items())
+    return "SELECT * FROM (VALUES " + ", ".join(
+        f"(CAST({a} AS BIGINT), CAST({b} AS BIGINT), CAST({n} AS BIGINT))"
+        for a, b, n in rows
+    ) + ") t(id_a, id_b, n_shared_anchors)"
 
 
 def _fingerprint_oracle_values() -> str:
@@ -1940,6 +2007,7 @@ def oracle_sql() -> dict[str, str]:
         ) GROUP BY role
     """
     q["dedup_simhash"] = _value_oracle("simhash", _simhash_oracle_values)
+    q["dedup_substring"] = _value_oracle("substring", _substring_oracle_values)
     q["text_fingerprint"] = _value_oracle("fp", _fingerprint_oracle_values)
     q["dedup_minhash"] = f"""
         WITH {_SHINGLES_CTE}

@@ -81,6 +81,27 @@ def xxh64_str(s: str, seed: int = 42) -> int:
     return u - (1 << 64) if u >= (1 << 63) else u
 
 
+def xxh64_long(v: int, seed: int = 42) -> int:
+    """XXH64 of one LongType value (its 8 little-endian two's-complement
+    bytes) — Spark's ``XXH64.hashLong``. Unsigned in/out so results can
+    chain as seeds."""
+    import struct
+
+    signed = ((v + (1 << 63)) & _MASK) - (1 << 63)
+    return xxh64(struct.pack("<q", signed), seed & _MASK)
+
+
+def spark_xxhash64_longs(vals: list[int]) -> int:
+    """Spark-parity signed value of ``xxhash64(c1, c2, ...)`` over
+    LongType columns: each field hashes with the running result as its
+    seed, starting from the default seed 42 (InterpretedHashFunction
+    fold order)."""
+    h = 42
+    for v in vals:
+        h = xxh64_long(v, h)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
 def spark_ws_tokens(text: str) -> list[str]:
     """Replicates ``split(trim(lower(text)), '\\s+')`` exactly:
     Java lower-casing ≈ str.lower, trim strips SPACES only, Java ``\\s``

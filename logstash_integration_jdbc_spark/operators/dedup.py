@@ -397,6 +397,111 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.8,
     )
 
 
+# -- exact-substring duplication (winnowed anchors) ------------------------
+
+def winnow_anchors(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", min_tokens: int = 10,
+                   window: int = 4) -> DataFrame:
+    """(id, __anchor) winnowing fingerprints for exact-substring
+    detection: positional ``min_tokens``-token gram hashes (staged
+    token→gram xxhash64, POSITIONAL — no distinct, order preserved),
+    then classic winnowing — the minimum gram hash of every ``window``
+    consecutive positions, deduplicated.
+
+    Guarantee (Schleimer/Wilkerson/Aiken winnowing): two documents
+    sharing an exact token run of length ≥ ``min_tokens + window - 1``
+    select at least one identical anchor; runs in
+    [min_tokens, min_tokens+window-2] may or may not anchor. Anchor
+    density is ~2/(window+1) of gram positions, so the pair exchange
+    carries a fraction of the corpus token count. Docs shorter than
+    ``min_tokens`` tokens have no gram, hence no anchors (they cannot
+    contain a min_tokens-token substring); docs with fewer than
+    ``window`` grams contribute their single minimum gram.
+
+    Plan: NO higher-order functions — an array formulation
+    (transform over sequence + array_min of slices) was measured 40×
+    slower end-to-end because projection collapse inlines the gram
+    array into the window transform, re-evaluating the whole gram
+    pipeline per window element (186 s → 6 s at 1000 docs for this
+    form). Instead token hashes posexplode once per doc and everything
+    downstream evaluates as compiled row expressions: gram hash =
+    ``xxhash64(t, lead(t,1), …, lead(t,L-1))``, winnow min = windowed
+    ``min`` over the next ``window`` gram rows. All three window
+    functions share one (id, pos) sort, and the sort's hash partition
+    comes free from ``_spread``'s repartition — one exchange total
+    before the anchor join.
+    """
+    if min_tokens < 2 or window < 1:
+        raise ValueError("min_tokens must be >= 2 and window >= 1")
+    from pyspark.sql import Window
+
+    L, W = min_tokens, window
+    src = _spread(df, id_col, text_col)
+    toks = src.select(
+        F.col(id_col),
+        F.posexplode(token_hashes(F.col(text_col))).alias("__pos", "__t"),
+    )
+    per_doc = Window.partitionBy(id_col)
+    by_pos = per_doc.orderBy("__pos")
+    leads = [F.col("__t")] + [F.lead("__t", j).over(by_pos)
+                              for j in range(1, L)]
+    grams = (
+        toks
+        .withColumn("__gh", F.xxhash64(*leads))
+        .withColumn("__n", F.count(F.lit(1)).over(per_doc))
+        # token pos 0..n-L are exactly the gram positions (0-based)
+        .filter(F.col("__pos") <= F.col("__n") - L)
+        .select(id_col, "__pos", "__gh")
+    )
+    win_min = by_pos.rowsBetween(0, W - 1)
+    return (
+        grams
+        .withColumn("__mn", F.min("__gh").over(win_min))
+        .withColumn("__gc", F.count(F.lit(1)).over(per_doc))
+        # full windows only; <W grams → the pos-0 window spans them all
+        .filter((F.col("__pos") <= F.col("__gc") - W)
+                | ((F.col("__gc") < W) & (F.col("__pos") == 0)))
+        .select(F.col(id_col), F.col("__mn").alias("__anchor"))
+        .dropDuplicates([id_col, "__anchor"])
+    )
+
+
+def substring_dup_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", min_tokens: int = 10,
+                        window: int = 4) -> DataFrame:
+    """Document pairs (id_a < id_b, n_shared_anchors) sharing an EXACT
+    token run of ≥ min_tokens tokens — the training-data substring-dedup
+    primitive (the suffix-array method of Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", re-expressed as a
+    winnowed gram-anchor join: suffix arrays don't distribute, anchor
+    grouping is one bucket shuffle).
+
+    Same bucketed pair-emission plan as minhash banding: group ids per
+    anchor, emit ordered pairs per bucket, ONE exchange on the anchor
+    key, then count shared anchors per pair. A shared anchor implies an
+    identical min_tokens-token sequence modulo xxhash64 collisions
+    (~2⁻⁶⁴ per candidate; at 100 TB add a verify join on the anchored
+    token slice if bit-exactness is contractual). Degenerate anchors
+    (boilerplate runs shared by B docs) emit O(B²) pairs — the same
+    guard applies as minhash banding: exact-dedup upstream, and feed
+    the pairs to ``dedup_components``/``keep_representatives`` to drop
+    all-but-one survivor per cluster.
+    """
+    anch = winnow_anchors(df, id_col, text_col, min_tokens, window)
+    return (
+        anch.groupBy("__anchor")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("__ids"))
+        .filter(F.size("__ids") > 1)
+        .select(F.posexplode("__ids").alias("__i", "id_a"), F.col("__ids"))
+        .select(
+            "id_a",
+            F.explode(F.expr("slice(__ids, __i + 2, size(__ids))")).alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_anchors"))
+    )
+
+
 # -- SimHash ----------------------------------------------------------------
 
 _SIMHASH_UDF = None

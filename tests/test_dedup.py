@@ -413,3 +413,96 @@ def test_keep_representatives_end_to_end(spark):
                   keep_representatives(docs, pairs).collect())
     # 1,2,3 form one near-dup component → min id 1 survives; 9 untouched
     assert kept == [1, 9]
+
+
+# -- exact-substring duplication ------------------------------------------
+
+def test_substring_pairs_winnowing_guarantee(spark):
+    """A shared exact run of >= min_tokens+window-1 tokens MUST pair;
+    documents with no shared min_tokens-run must not."""
+    from logstash_integration_jdbc_spark.operators.dedup import (
+        substring_dup_pairs,
+    )
+
+    run = " ".join(f"tok{i}" for i in range(13))  # 13 = 10 + 4 - 1
+    docs = spark.createDataFrame(
+        [(1, f"alpha beta {run} gamma"),
+         (2, f"{run} delta epsilon zeta"),
+         (3, "totally different words " + " ".join(f"x{i}" for i in range(20))),
+         (4, "short doc")],
+        "doc_id bigint, text string",
+    )
+    got = {(r.id_a, r.id_b) for r in
+           substring_dup_pairs(docs, min_tokens=10, window=4).collect()}
+    assert (1, 2) in got
+    assert all(3 not in p and 4 not in p for p in got)
+
+
+def test_substring_pairs_matches_python_twin(spark):
+    """Operator output equals an independent pure-Python winnowing
+    replay (xxh64 long-chain twin verified against Spark separately)."""
+    from logstash_integration_jdbc_spark.functions.xxhash import (
+        spark_ws_tokens,
+        spark_xxhash64_longs,
+        xxh64_str,
+    )
+    from logstash_integration_jdbc_spark.operators.dedup import (
+        substring_dup_pairs,
+    )
+
+    L, W = 5, 3
+    texts = {
+        1: "a b c d e f g h i j",
+        2: "z z a b c d e f g h q",      # shares run "a..h" (8 >= L+W-1)
+        3: "a b c d e q r s t u",        # shares only a 5-run with 1
+        4: "one two three four",          # < L tokens: no grams
+        5: "m n o p q r s",
+    }
+
+    def anchors(text):
+        th = [xxh64_str(t) for t in spark_ws_tokens(text)]
+        if len(th) < L:
+            return set()
+        g = [spark_xxhash64_longs(th[i:i + L]) for i in range(len(th) - L + 1)]
+        if len(g) < W:
+            return {min(g)}
+        return {min(g[j:j + W]) for j in range(len(g) - W + 1)}
+
+    expected = {}
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            n = len(anchors(texts[a]) & anchors(texts[b]))
+            if n:
+                expected[(a, b)] = n
+    df = spark.createDataFrame(list(texts.items()), "doc_id bigint, text string")
+    got = {(r.id_a, r.id_b): r.n_shared_anchors for r in
+           substring_dup_pairs(df, min_tokens=L, window=W).collect()}
+    assert got == expected and (1, 2) in got
+
+
+def test_winnow_anchor_density(spark):
+    """Anchors per doc ~ 2/(window+1) of gram positions — the exchange
+    volume claim in the docstring."""
+    import random
+
+    from logstash_integration_jdbc_spark.operators.dedup import winnow_anchors
+
+    rng = random.Random(9)
+    text = " ".join(str(rng.randrange(10**6)) for _ in range(500))
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    n = winnow_anchors(df, min_tokens=10, window=8).count()
+    grams = 500 - 9
+    assert 0.1 < n / grams < 0.4  # theory: 2/9 ≈ 0.22
+
+
+def test_substring_pairs_validation(spark):
+    import pytest as _pytest
+
+    from logstash_integration_jdbc_spark.operators.dedup import winnow_anchors
+
+    df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    with _pytest.raises(ValueError):
+        winnow_anchors(df, min_tokens=1)
+    with _pytest.raises(ValueError):
+        winnow_anchors(df, window=0)

@@ -28,3 +28,25 @@ def test_ws_tokens_match_spark_split(spark):
         "s", F.split(F.trim(F.lower(F.col("s"))), r"\s+").alias("t")).collect()}
     for c in cases:
         assert spark_ws_tokens(c) == got[c], repr(c)
+
+
+def test_xxh64_long_chain_matches_spark(spark):
+    """spark_xxhash64_longs must equal xxhash64(c1, c2, ...) over
+    LongType columns (InterpretedHashFunction seed-chain fold) — the
+    winnowing substring-dedup oracle rests on this parity."""
+    from logstash_integration_jdbc_spark.functions.xxhash import (
+        spark_xxhash64_longs,
+    )
+
+    rows = [(1, 2, 3), (-5, 7, 0), (2**62, -(2**62), -1),
+            (0, 0, 0), (-1, -1, -1), (123456789, -987654321, 42)]
+    df = spark.createDataFrame(rows, "a long, b long, c long")
+    got = df.select(
+        F.xxhash64("a").alias("h1"),
+        F.xxhash64("a", "b").alias("h2"),
+        F.xxhash64("a", "b", "c").alias("h3"),
+    ).collect()
+    for (a, b, c), r in zip(rows, got):
+        assert spark_xxhash64_longs([a]) == r.h1
+        assert spark_xxhash64_longs([a, b]) == r.h2
+        assert spark_xxhash64_longs([a, b, c]) == r.h3
