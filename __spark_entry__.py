@@ -1007,6 +1007,54 @@ def _q_jpeg_textured(spark, sf_dir):
         gen, schema="media_id long, tile_idx int, r int, g int, b int, uniform boolean")
 
 
+def _q_jpeg_progressive(spark, sf_dir):
+    # progressive (SOF2) JPEGs through the real decoder: 4:4:4 solid
+    # 8×8 tiles so every block is DC-only and the expected color is the
+    # same closed form as the textured row (_jpeg_tile_analytic — the
+    # 4:4:4 quality-90 DC quantizers are identical); even ids take the
+    # full successive-approximation ladder (DC+AC refinement scans,
+    # EOB runs, correction bits), odd ids spectral selection only, and
+    # every third id adds restart markers. Scan-ladder bugs cannot
+    # cancel: the oracle never runs a JPEG decoder.
+    import numpy as np
+    import pandas as pd
+
+    from logstash_integration_jdbc_spark.functions.jpeg import (
+        encode_jpeg_progressive,
+        parse_jpeg,
+    )
+
+    _pin(spark)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                tx, ty, colors, rst = _jpeg_textured_spec(i)
+                px = np.zeros((ty * 8, tx * 8, 3), dtype=np.uint8)
+                for t, c in enumerate(colors):
+                    r0, c0 = (t // tx) * 8, (t % tx) * 8
+                    px[r0 : r0 + 8, c0 : c0 + 8] = c
+                blob = encode_jpeg_progressive(
+                    px, quality=90, successive=(i % 2 == 0),
+                    restart_interval=rst if i % 3 == 0 else 0)
+                _w, _h, dec = parse_jpeg(blob)
+                for t in range(tx * ty):
+                    r0, c0 = (t // tx) * 8, (t % tx) * 8
+                    tile = dec[r0 : r0 + 8, c0 : c0 + 8]
+                    uni = bool((tile.min(axis=(0, 1)) == tile.max(axis=(0, 1))).all())
+                    rows.append({
+                        "media_id": i, "tile_idx": t,
+                        "r": int(tile[4, 4, 0]), "g": int(tile[4, 4, 1]),
+                        "b": int(tile[4, 4, 2]), "uniform": uni,
+                    })
+            yield pd.DataFrame(rows)
+
+    return spark.range(100).mapInPandas(
+        gen, schema="media_id long, tile_idx int, r int, g int, b int, uniform boolean")
+
+
 def _q_audio_rms(spark, sf_dir):
     # real RIFF/WAVE decode through the driver gate: chunk-walked
     # fmt/data parse + PCM16 RMS. The oracle recomputes rate/n/rms from
@@ -1341,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png_palette": _q_png_palette,
         "multimodal_jpeg_solid": _q_jpeg_solid,
         "multimodal_jpeg_textured": _q_jpeg_textured,
+        "multimodal_jpeg_progressive": _q_jpeg_progressive,
         "streaming_counts": _q_streaming_counts,
         "streaming_dedup": _q_streaming_dedup,
         "curation_funnel": _q_curation_funnel,
@@ -1355,7 +1404,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r3_multi_lookup_gate": _q_multi_lookup_gate,
         "j1_streaming_lookup": _q_streaming_lookup,
         "j2_static_lookup": _q_static_lookup,
-        "j4_like_lookup": _q_like_lookup,
         "grok_parse": _q_grok_parse,
         "conv_assemble": _q_assemble,
         "r4_router_counts": _q_router_counts,
@@ -1383,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         # -- 3: tail (green on r2-r4 boards; local gate each round) ---
+        "j4_like_lookup": _q_like_lookup,
         "text_fingerprint": _q_fingerprint,
         "s6_positional_sql": _q_positional_sql,
         "conv_assemble_capped": _q_assemble_capped,
@@ -2578,6 +2627,21 @@ def oracle_sql() -> dict[str, str]:
                 f"(CAST({i} AS BIGINT), {t}, {rr}, {gg}, {bb}, TRUE)")
     q["multimodal_jpeg_textured"] = (
         "SELECT * FROM (VALUES " + ", ".join(trows)
+        + ") t(media_id, tile_idx, r, g, b, uniform)"
+    )
+    # Progressive JPEG: same closed-form DC-only tile oracle (4:4:4
+    # 8×8 tiles, identical quality-90 DC quantizers) — the scan ladder
+    # (spectral selection, successive approximation, EOB runs, restarts)
+    # runs only on the Spark side.
+    pgrows = []
+    for i in range(100):
+        tx, ty, colors, _rst = _jpeg_textured_spec(i)
+        for t, rgb in enumerate(colors):
+            rr, gg, bb = _jpeg_tile_analytic(rgb)[0]
+            pgrows.append(
+                f"(CAST({i} AS BIGINT), {t}, {rr}, {gg}, {bb}, TRUE)")
+    q["multimodal_jpeg_progressive"] = (
+        "SELECT * FROM (VALUES " + ", ".join(pgrows)
         + ") t(media_id, tile_idx, r, g, b, uniform)"
     )
     return q

@@ -1,13 +1,15 @@
-"""Pure-stdlib baseline JPEG codec (decode + test-grade encoder).
+"""Pure-stdlib JPEG codec (decode + test-grade encoder).
 
 Real format, real decoder, no Pillow: a marker-walking parser, huffman
 entropy decoding with byte-stuffing and restart markers, dequantization,
 numpy matrix IDCT, chroma upsampling, and JFIF YCbCr→RGB. Scope is
-baseline sequential DCT (SOF0), 8-bit, 1 component (grayscale) or 3
-components (YCbCr) with sampling factors 1 or 2 — i.e. the shape the
-overwhelming majority of real-world JPEGs use. Progressive (SOF2),
-12-bit, arithmetic coding, and CMYK raise ``NotImplementedError`` naming
-Pillow, matching the multimodal kernels' contract.
+8-bit huffman DCT — baseline sequential (SOF0/SOF1) AND progressive
+(SOF2: DC/AC spectral-selection scans, successive-approximation
+refinement, EOB runs, per-scan table redefinition) — with 1 (grayscale)
+or 3 (YCbCr) components and sampling factors 1 or 2, i.e. the shapes
+real-world JPEGs use. 12-bit, arithmetic coding, lossless/hierarchical,
+and CMYK raise ``NotImplementedError`` naming Pillow, matching the
+multimodal kernels' contract.
 
 The encoder exists so tests can build REAL JPEG bytes without any
 library: 4:4:4 baseline with the JPEG Annex K example quantization and
@@ -292,7 +294,7 @@ def parse_jpeg(payload: bytes):
     frame = None
     restart_interval = 0
     pos = 2
-    scan = None
+    scans: list[dict] = []
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
@@ -316,7 +318,7 @@ def parse_jpeg(payload: bytes):
                     raise NotImplementedError("16-bit quant tables need Pillow")
                 qt[tq] = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8).astype(np.int64)
                 i += 65
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline(+ext sequential)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG needs Pillow")
@@ -329,10 +331,11 @@ def parse_jpeg(payload: bytes):
                 if hi not in (1, 2) or vi not in (1, 2):
                     raise NotImplementedError("sampling factors >2 need Pillow")
                 comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = {"w": w, "h": h, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive/hierarchical/arithmetic JPEG needs Pillow")
+                "lossless/hierarchical/arithmetic JPEG needs Pillow")
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
@@ -347,9 +350,13 @@ def parse_jpeg(payload: bytes):
         elif marker == 0xDA:  # SOS
             ns = body[0]
             sel = {}
+            order = []
             for c in range(ns):
                 cs, tt = body[1 + 2 * c], body[2 + 2 * c]
                 sel[cs] = (tt >> 4, tt & 0xF)
+                order.append(cs)
+            o = 1 + 2 * ns
+            ss, se, ahal = body[o], body[o + 1], body[o + 2]
             data_start = pos + seglen
             # entropy data runs to the next non-RST marker
             end = data_start
@@ -359,51 +366,38 @@ def parse_jpeg(payload: bytes):
                 ):
                     break
                 end += 1
-            scan = (sel, payload[data_start:end])
+            # snapshot the table state: DHT may redefine tables between
+            # progressive scans (values are immutable tuples)
+            scans.append({
+                "sel": sel, "order": order, "ss": ss, "se": se,
+                "ah": ahal >> 4, "al": ahal & 0xF,
+                "data": payload[data_start:end],
+                "dri": restart_interval,
+                "dc": dict(huff_dc), "ac": dict(huff_ac),
+            })
             pos = end
             continue
         pos += seglen
-    if frame is None or scan is None:
+    if frame is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
+    if frame.get("progressive"):
+        return _finish_jpeg(frame, _decode_progressive(frame, scans), qt)
 
-    sel, data = scan
+    sel, data = scans[0]["sel"], scans[0]["data"]
     comps = frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = -(-frame["w"] // mcu_w)
-    mcus_y = -(-frame["h"] // mcu_h)
-
-    planes = [
-        np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
+    mcus_x, mcus_y = _mcu_grid(frame)
+    blocks = [
+        [[0] * 64 for _ in range(mcus_y * c["v"] * mcus_x * c["h"])]
         for c in comps
     ]
-    # split on restart markers; each segment resets DC predictors
-    segments = []
-    if restart_interval:
-        seg, i = bytearray(), 0
-        while i < len(data):
-            if data[i] == 0xFF and i + 1 < len(data) and 0xD0 <= data[i + 1] <= 0xD7:
-                segments.append(bytes(seg))
-                seg = bytearray()
-                i += 2
-                continue
-            seg.append(data[i])
-            i += 1
-        segments.append(bytes(seg))
-    else:
-        segments = [data]
-
     mcu_index = 0
     total_mcus = mcus_x * mcus_y
-    # Entropy decode collects plain-list coefficient rows per component;
-    # dequantize + de-zigzag + IDCT then run BATCHED over all blocks
-    # (one einsum per component instead of two 8×8 matmuls + three numpy
-    # allocs per block — the per-block numpy fixed costs dominated the
-    # profile once the huffman path went LUT).
-    coef_rows: list[list[list[int]]] = [[] for _ in comps]
-    block_pos: list[list[tuple[int, int]]] = [[] for _ in comps]
-    for seg in segments:
+    # Entropy decode fills plain-list coefficient blocks per component;
+    # dequantize + de-zigzag + IDCT then run BATCHED over all blocks in
+    # _finish_jpeg (one einsum per component instead of two 8×8 matmuls
+    # + three numpy allocs per block — the per-block numpy fixed costs
+    # dominated the profile once the huffman path went LUT).
+    for seg in _split_restart_segments(data, restart_interval):
         reader = _BitReader(seg)
         pred = [0] * len(comps)
         limit = (mcu_index + restart_interval) if restart_interval else total_mcus
@@ -412,30 +406,59 @@ def parse_jpeg(payload: bytes):
             for ci, comp in enumerate(comps):
                 dct_t, act_t = sel[comp["id"]]
                 dc_tab, ac_tab = huff_dc[dct_t], huff_ac[act_t]
+                bw = mcus_x * comp["h"]
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
                         coef, pred[ci] = reader.decode_block(
                             dc_tab, ac_tab, pred[ci])
-                        coef_rows[ci].append(coef)
-                        block_pos[ci].append(
-                            ((my * comp["v"] + by) * 8, (mx * comp["h"] + bx) * 8))
+                        blocks[ci][(my * comp["v"] + by) * bw
+                                   + mx * comp["h"] + bx] = coef
             mcu_index += 1
+    return _finish_jpeg(frame, blocks, qt)
 
-    for ci, comp in enumerate(comps):
-        if not coef_rows[ci]:
+
+def _mcu_grid(frame) -> tuple[int, int]:
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    return -(-frame["w"] // (8 * hmax)), -(-frame["h"] // (8 * vmax))
+
+
+def _split_restart_segments(data: bytes, restart_interval: int) -> list[bytes]:
+    """Split entropy data on RSTn markers (each segment resets DC
+    predictors and, in progressive AC scans, the EOB run)."""
+    if not restart_interval:
+        return [data]
+    segments, seg, i = [], bytearray(), 0
+    while i < len(data):
+        if data[i] == 0xFF and i + 1 < len(data) and 0xD0 <= data[i + 1] <= 0xD7:
+            segments.append(bytes(seg))
+            seg = bytearray()
+            i += 2
             continue
-        zz = np.asarray(coef_rows[ci], dtype=np.int64) * qt[comp["tq"]][None, :]
-        nat = np.zeros((zz.shape[0], 64), dtype=np.float64)
-        nat[:, ZIGZAG] = zz
-        px = np.einsum("ij,njk,kl->nil", _C.T, nat.reshape(-1, 8, 8), _C) + 128.0
-        plane = planes[ci]
-        for (y0, x0), blk in zip(block_pos[ci], px):
-            plane[y0 : y0 + 8, x0 : x0 + 8] = blk
+        seg.append(data[i])
+        i += 1
+    segments.append(bytes(seg))
+    return segments
 
+
+def _finish_jpeg(frame, blocks, qt):
+    """Shared tail: per-component zigzag coefficient blocks (plain
+    lists, padded-MCU raster order) → dequant → batched einsum IDCT →
+    plane assembly → chroma upsample → RGB."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x, mcus_y = _mcu_grid(frame)
     w, h = frame["w"], frame["h"]
     out_planes = []
     for ci, comp in enumerate(comps):
-        p = planes[ci]
+        bh, bw = mcus_y * comp["v"], mcus_x * comp["h"]
+        zz = np.asarray(blocks[ci], dtype=np.int64) * qt[comp["tq"]][None, :]
+        nat = np.zeros((zz.shape[0], 64), dtype=np.float64)
+        nat[:, ZIGZAG] = zz
+        px = np.einsum("ij,njk,kl->nil", _C.T, nat.reshape(-1, 8, 8), _C) + 128.0
+        p = (px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
+             .reshape(bh * 8, bw * 8))
         ry, rx = vmax // comp["v"], hmax // comp["h"]
         if ry > 1 or rx > 1:  # nearest-neighbor chroma upsample
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
@@ -450,6 +473,168 @@ def parse_jpeg(payload: bytes):
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return w, h, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_progressive(frame, scans):
+    """Progressive (SOF2) entropy decode → per-component zigzag
+    coefficient blocks in padded-MCU raster order (ITU T.81 Annex G,
+    huffman coding): DC/AC spectral-selection scans plus successive
+    approximation (first pass at point transform Al, then one-bit
+    refinement passes), EOB runs, per-scan table snapshots, restart
+    intervals resetting predictor + EOB run. Coefficients accumulate
+    across scans; IDCT runs once at the end (_finish_jpeg)."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x, mcus_y = _mcu_grid(frame)
+    cidx = {c["id"]: i for i, c in enumerate(comps)}
+    blocks = [
+        [[0] * 64 for _ in range(mcus_y * c["v"] * mcus_x * c["h"])]
+        for c in comps
+    ]
+    for sc in scans:
+        ss, se, ah, al = sc["ss"], sc["se"], sc["ah"], sc["al"]
+        dri = sc["dri"]
+        if ss == 0 and se != 0:
+            raise ValueError("progressive scan mixes DC and AC bands")
+        if ss > 0 and len(sc["order"]) != 1:
+            raise ValueError("progressive AC scan must be non-interleaved")
+        if len(sc["order"]) > 1:
+            # interleaved DC scan: MCU walk over all scan components
+            total = mcus_x * mcus_y
+            idx = 0
+            for seg in _split_restart_segments(sc["data"], dri):
+                reader = _BitReader(seg)
+                pred = {cid: 0 for cid in sc["order"]}
+                limit = (idx + dri) if dri else total
+                while idx < min(limit, total):
+                    my, mx = divmod(idx, mcus_x)
+                    for cid in sc["order"]:
+                        ci = cidx[cid]
+                        comp = comps[ci]
+                        bw = mcus_x * comp["h"]
+                        tabs = sc["dc"][sc["sel"][cid][0]]
+                        for by in range(comp["v"]):
+                            for bx in range(comp["h"]):
+                                blk = blocks[ci][(my * comp["v"] + by) * bw
+                                                 + mx * comp["h"] + bx]
+                                pred[cid] = _dc_pass(reader, blk, tabs,
+                                                     pred[cid], ah, al)
+                    idx += 1
+        else:
+            cid = sc["order"][0]
+            ci = cidx[cid]
+            comp = comps[ci]
+            # non-interleaved: raster over the component's REAL block
+            # grid (ceil of scaled dims), not the padded MCU grid
+            cw = -(-frame["w"] * comp["h"] // hmax)
+            chh = -(-frame["h"] * comp["v"] // vmax)
+            nbx, nby = -(-cw // 8), -(-chh // 8)
+            bw = mcus_x * comp["h"]
+            total = nbx * nby
+            idx = 0
+            for seg in _split_restart_segments(sc["data"], dri):
+                reader = _BitReader(seg)
+                pred, eobrun = 0, 0
+                limit = (idx + dri) if dri else total
+                while idx < min(limit, total):
+                    by, bx = divmod(idx, nbx)
+                    blk = blocks[ci][by * bw + bx]
+                    if ss == 0:
+                        pred = _dc_pass(reader, blk,
+                                        sc["dc"][sc["sel"][cid][0]],
+                                        pred, ah, al)
+                    else:
+                        eobrun = _ac_pass(reader, blk,
+                                          sc["ac"][sc["sel"][cid][1]],
+                                          ss, se, ah, al, eobrun)
+                    idx += 1
+    return blocks
+
+
+def _dc_pass(reader, blk, dc_tab, pred, ah, al):
+    """One block of a DC scan. First pass (Ah=0): huffman diff of
+    DC>>Al, accumulated into the predictor, stored <<Al. Refinement:
+    one raw bit ORed at position Al (two's complement — valid because
+    the stored value has bits below Ah zero)."""
+    if ah == 0:
+        s = reader.read_symbol(dc_tab)
+        diff = _extend(reader.read_bits(s), s) if s else 0
+        pred += diff
+        blk[0] = pred << al
+    else:
+        if reader.read_bits(1):
+            blk[0] |= 1 << al
+    return pred
+
+
+def _ac_pass(reader, blk, ac_tab, ss, se, ah, al, eobrun):
+    """One block of an AC scan band [ss, se]; returns the EOB run.
+
+    First pass (Ah=0, G.1.2.2): run-length/size symbols place
+    (value>>Al)<<Al coefficients; EOBn symbols start a run of
+    all-remaining-zero blocks. Refinement (G.1.2.3, the libjpeg
+    decode_mcu_AC_refine walk): newly nonzero coefficients arrive as
+    ±1<<Al, every already-nonzero coefficient crossed — including
+    during EOB runs and ZRL skips — consumes one correction bit."""
+    p1, m1 = 1 << al, -(1 << al)
+    if ah == 0:
+        if eobrun > 0:
+            return eobrun - 1
+        k = ss
+        while k <= se:
+            rs = reader.read_symbol(ac_tab)
+            r, s = rs >> 4, rs & 0xF
+            if s:
+                k += r
+                if k > se:
+                    raise ValueError("AC coefficient index beyond band end")
+                blk[k] = _extend(reader.read_bits(s), s) << al
+                k += 1
+            else:
+                if r == 15:
+                    k += 16
+                else:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+        return eobrun
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.read_symbol(ac_tab)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history coefficients
+            elif s == 1:
+                val = p1 if reader.read_bits(1) else m1
+            else:
+                raise ValueError("AC refinement symbol with size > 1")
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.read_bits(1) and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        if val:
+                            blk[k] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0 and reader.read_bits(1) and (blk[k] & p1) == 0:
+                blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 def split_jpeg_frames(payload: bytes) -> list[tuple[int, int]]:
@@ -704,5 +889,279 @@ def encode_jpeg(px, quality: int = 90, restart_interval: int = 0,
     else:
         out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     out += entropy
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+# progressive-encoder huffman tables: Annex K has no EOBn symbols with
+# r > 0, so the fixture factory uses flat canonical tables carrying the
+# FULL rrrrssss symbol space (all 16 EOBn/ZRL s=0 symbols + r×s for
+# s 1..10) — 12 four-bit DC codes, 176 eight-bit AC codes
+_PROG_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_PROG_DC_VALS = list(range(12))
+_PROG_AC_BITS = [0] * 16
+_PROG_AC_BITS[7] = 176
+_PROG_AC_VALS = [(r << 4) | s for s in range(11) for r in range(16)]
+
+
+def encode_jpeg_progressive(px, quality: int = 90, successive: bool = True,
+                            restart_interval: int = 0) -> bytes:
+    """Progressive (SOF2) JFIF from (h, w, 3) RGB or (h, w) gray —
+    the fixture factory for the progressive decode path (4:4:4 / single
+    component; scans per T.81 Annex G with huffman coding).
+
+    ``successive=True`` emits the full successive-approximation ladder
+    (DC first at Al=1 + DC refinement; per-component AC
+    spectral-selection scans at Al=1 + AC refinement scans with EOB
+    runs and correction bits — the libjpeg encode_mcu_AC_refine walk);
+    ``successive=False`` emits spectral selection only (every scan at
+    Al=0). ``restart_interval`` > 0 inserts DRI + RSTn in every scan
+    (EOB run flushed, predictors reset, writer byte-aligned)."""
+    px = np.ascontiguousarray(px, dtype=np.float64)
+    gray = px.ndim == 2
+    if not gray and px.shape[2] != 3:
+        raise ValueError("expects (h, w, 3) RGB or (h, w) gray")
+    h, w = px.shape[:2]
+    qy = _quality_scale(QT_LUMA, quality)
+    qc = _quality_scale(QT_CHROMA, quality)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+
+    def pad(p):
+        return np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+
+    if gray:
+        planes = [(pad(px), qy)]
+    else:
+        r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        planes = [
+            (pad(0.299 * r + 0.587 * g + 0.114 * b), qy),
+            (pad(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0), qc),
+            (pad(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0), qc),
+        ]
+    nbx, nby = pw // 8, ph // 8
+    comp_blocks: list[list[list[int]]] = []
+    for plane, q in planes:
+        blocks = []
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                zz = (_C @ blk @ _C.T).reshape(-1)[ZIGZAG]
+                blocks.append(np.round(zz / q[ZIGZAG]).astype(np.int64).tolist())
+        comp_blocks.append(blocks)
+
+    enc_dc = _huff_encode_table(_PROG_DC_BITS, _PROG_DC_VALS)
+    enc_ac = _huff_encode_table(_PROG_AC_BITS, _PROG_AC_VALS)
+    n_blocks = nbx * nby
+    ncomp = len(comp_blocks)
+
+    def dc_scan(ah, al):
+        bw = _BitWriter()
+        out = bytearray()
+        preds = [0] * ncomp
+        rst = 0
+        for i in range(n_blocks):
+            if restart_interval and i and i % restart_interval == 0:
+                bw.flush()
+                out += bw.out + bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                bw = _BitWriter()
+                preds = [0] * ncomp
+            for ci in range(ncomp):
+                c0 = comp_blocks[ci][i][0]
+                if ah == 0:
+                    v = c0 >> al  # arithmetic shift: the DC point transform
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    t = 0 if diff == 0 else abs(diff).bit_length()
+                    ln, code = enc_dc[t]
+                    bw.write(code, ln)
+                    if t:
+                        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+                else:
+                    bw.write((c0 >> al) & 1, 1)
+        bw.flush()
+        out += bw.out
+        return bytes(out)
+
+    def ac_first_scan(ci, ss, se, al):
+        bw = _BitWriter()
+        out = bytearray()
+        eobrun = 0
+        rst = 0
+
+        def emit_eobrun():
+            nonlocal eobrun
+            if eobrun:
+                nbits = eobrun.bit_length() - 1
+                ln, code = enc_ac[nbits << 4]
+                bw.write(code, ln)
+                if nbits:
+                    bw.write(eobrun & ((1 << nbits) - 1), nbits)
+                eobrun = 0
+
+        for i in range(n_blocks):
+            if restart_interval and i and i % restart_interval == 0:
+                emit_eobrun()
+                bw.flush()
+                out += bw.out + bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                bw = _BitWriter()
+            c = comp_blocks[ci][i]
+            vals = []
+            for k in range(ss, se + 1):
+                av = abs(c[k]) >> al  # AC point transform: toward zero
+                vals.append(av if c[k] >= 0 else -av)
+            if not any(vals):
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    emit_eobrun()
+                continue
+            emit_eobrun()
+            run = 0
+            for v in vals:
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ln, code = enc_ac[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                s = abs(v).bit_length()
+                ln, code = enc_ac[(run << 4) | s]
+                bw.write(code, ln)
+                bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if run > 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    emit_eobrun()
+        emit_eobrun()
+        bw.flush()
+        out += bw.out
+        return bytes(out)
+
+    def ac_refine_scan(ci, ss, se, al):
+        # the libjpeg encode_mcu_AC_refine walk, with its TWO
+        # correction-bit pools: `be` holds bits owned by the pending
+        # EOB run (flushed right after the EOBn symbol — the decoder
+        # reads them while walking those blocks), `br` holds the
+        # in-progress block's bits (flushed after each ZRL /
+        # new-coefficient symbol, and MOVED into `be` only when the
+        # block ends in EOB). A single shared buffer desyncs: bits for
+        # coefficients crossed before a new-coefficient symbol must
+        # follow that symbol, not a preceding EOBn.
+        bw = _BitWriter()
+        out = bytearray()
+        eobrun = 0
+        be: list[int] = []
+        br: list[int] = []
+        rst = 0
+
+        def emit_eobrun():
+            nonlocal eobrun
+            if eobrun:
+                nbits = eobrun.bit_length() - 1
+                ln, code = enc_ac[nbits << 4]
+                bw.write(code, ln)
+                if nbits:
+                    bw.write(eobrun & ((1 << nbits) - 1), nbits)
+                for bit in be:
+                    bw.write(bit, 1)
+                be.clear()
+                eobrun = 0
+
+        def flush_br():
+            for bit in br:
+                bw.write(bit, 1)
+            br.clear()
+
+        for i in range(n_blocks):
+            if restart_interval and i and i % restart_interval == 0:
+                emit_eobrun()
+                bw.flush()
+                out += bw.out + bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                bw = _BitWriter()
+            c = comp_blocks[ci][i]
+            absv = [abs(c[k]) >> al for k in range(ss, se + 1)]
+            eob = ss - 1
+            for k in range(ss, se + 1):
+                if absv[k - ss] == 1:
+                    eob = k
+            run = 0
+            for k in range(ss, se + 1):
+                t = absv[k - ss]
+                if t == 0:
+                    run += 1
+                    continue
+                # ZRLs not foldable into the coming EOB run
+                while run > 15 and k <= eob:
+                    emit_eobrun()
+                    ln, code = enc_ac[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                    flush_br()
+                if t > 1:
+                    br.append(t & 1)
+                    continue
+                emit_eobrun()
+                ln, code = enc_ac[(run << 4) | 1]
+                bw.write(code, ln)
+                bw.write(1 if c[k] >= 0 else 0, 1)
+                flush_br()
+                run = 0
+            if run > 0 or br:
+                eobrun += 1
+                be.extend(br)
+                br.clear()
+                if eobrun == 0x7FFF:
+                    emit_eobrun()
+        emit_eobrun()
+        bw.flush()
+        out += bw.out
+        return bytes(out)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xFF\xD8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(int(v) for v in qy[ZIGZAG]))
+    if not gray:
+        out += seg(0xDB, bytes([1]) + bytes(int(v) for v in qc[ZIGZAG]))
+    if gray:
+        sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    else:
+        sof = struct.pack(">BHHB", 8, h, w, 3) + bytes(
+            [1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out += seg(0xC2, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(_PROG_DC_BITS) + bytes(_PROG_DC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_VALS))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+
+    cids = [1] if gray else [1, 2, 3]
+
+    def sos_interleaved(ss, se, ah, al):
+        body = bytes([len(cids)] + [b for cid in cids for b in (cid, 0x00)]
+                     + [ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    def sos_single(cid, ss, se, ah, al):
+        return seg(0xDA, bytes([1, cid, 0x00, ss, se, (ah << 4) | al]))
+
+    if successive:
+        out += sos_interleaved(0, 0, 0, 1) + dc_scan(0, 1)
+        ac_plan = ([(0, 1, 5), (0, 6, 63)]
+                   + [(ci, 1, 63) for ci in range(1, ncomp)])
+        for ci, ss, se in ac_plan:
+            out += sos_single(cids[ci], ss, se, 0, 1) + ac_first_scan(ci, ss, se, 1)
+        out += sos_interleaved(0, 0, 1, 0) + dc_scan(1, 0)
+        for ci, ss, se in ac_plan:
+            out += sos_single(cids[ci], ss, se, 1, 0) + ac_refine_scan(ci, ss, se, 0)
+    else:
+        out += sos_interleaved(0, 0, 0, 0) + dc_scan(0, 0)
+        for ci in range(ncomp):
+            out += sos_single(cids[ci], 1, 63, 0, 0) + ac_first_scan(ci, 1, 63, 0)
     out += b"\xFF\xD9"
     return bytes(out)

@@ -116,13 +116,64 @@ def test_ff_fill_bytes_before_markers():
     assert np.array_equal(got, ref)
 
 
-def test_progressive_rejected_names_pillow():
+def test_lossless_jpeg_rejected_names_pillow():
     px = np.zeros((8, 8, 3), dtype=np.uint8)
     blob = bytearray(encode_jpeg(px))
     i = blob.find(b"\xFF\xC0")
-    blob[i + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
+    blob[i + 1] = 0xC3  # rewrite SOF0 → SOF3 (lossless)
     with pytest.raises(NotImplementedError, match="Pillow"):
         parse_jpeg(bytes(blob))
+
+
+def test_progressive_decodes_identical_to_baseline():
+    """SOF2 successive-approximation ladder (DC Al=1 + refine, AC
+    spectral bands at Al=1 + refinement with EOB runs and correction
+    bits) must reconstruct EXACTLY the coefficients of the baseline
+    stream built from the same quantized blocks — so the decoded pixels
+    are bit-identical to the (oracle-validated) baseline decode."""
+    from logstash_integration_jdbc_spark.functions.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(3)
+    for shape in [(24, 16, 3), (17, 9, 3), (8, 8), (31, 17), (64, 48, 3)]:
+        px = rng.randint(0, 256, size=shape).astype(np.uint8)
+        base = parse_jpeg(encode_jpeg(px, quality=85))[2]
+        prog = parse_jpeg(encode_jpeg_progressive(px, quality=85))[2]
+        assert np.array_equal(base, prog), shape
+
+
+def test_progressive_spectral_only_and_smooth():
+    from logstash_integration_jdbc_spark.functions.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, size=(33, 21, 3)).astype(np.uint8)
+    base = parse_jpeg(encode_jpeg(px, quality=85))[2]
+    prog = parse_jpeg(encode_jpeg_progressive(px, quality=85,
+                                              successive=False))[2]
+    assert np.array_equal(base, prog)
+    # smooth + solid inputs exercise long zero runs and EOB runs
+    for mk in [np.tile(np.arange(64, dtype=np.uint8), (48, 1)),
+               np.full((32, 32), 77, np.uint8)]:
+        base = parse_jpeg(encode_jpeg(mk, quality=60))[2]
+        prog = parse_jpeg(encode_jpeg_progressive(mk, quality=60))[2]
+        assert np.array_equal(base, prog)
+
+
+def test_progressive_with_restart_markers():
+    from logstash_integration_jdbc_spark.functions.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(40, 24, 3)).astype(np.uint8)
+    base = parse_jpeg(encode_jpeg(px, quality=85))[2]
+    for ri, successive in [(2, True), (3, True), (5, False)]:
+        prog = parse_jpeg(encode_jpeg_progressive(
+            px, quality=85, successive=successive, restart_interval=ri))[2]
+        assert np.array_equal(base, prog), (ri, successive)
 
 
 def test_not_a_jpeg_rejected():
