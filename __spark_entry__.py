@@ -1007,6 +1007,25 @@ def _q_jpeg_textured(spark, sf_dir):
         gen, schema="media_id long, tile_idx int, r int, g int, b int, uniform boolean")
 
 
+def _q_gif_palette(spark, sf_dir):
+    # GIF (LZW + palette; odd ids Adam-style 4-pass interlaced) through
+    # the decode→gather→re-encode gate: the oracle rebuilds expected
+    # RGB as pal[idx] from the same deterministic spec — LZW
+    # decompression, interlace reordering, and palette resolution run
+    # only on the Spark side (encode_png is the sole shared code).
+    from logstash_integration_jdbc_spark.operators.multimodal import (
+        gen_media,
+        resize_images,
+    )
+
+    _pin(spark)
+    out = resize_images(gen_media(spark, n_rows=300, image_format="gif"),
+                        out_w=6, out_h=4)
+    return out.select(
+        "media_id", "width", "height", F.md5(F.col("payload")).alias("payload_md5")
+    )
+
+
 def _q_jpeg_progressive(spark, sf_dir):
     # progressive (SOF2) JPEGs through the real decoder: 4:4:4 solid
     # 8×8 tiles so every block is DC-only and the expected color is the
@@ -1387,6 +1406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": _q_resize,
         "multimodal_png_resize": _q_png_resize,
         "multimodal_png_palette": _q_png_palette,
+        "multimodal_gif_palette": _q_gif_palette,
         "multimodal_jpeg_solid": _q_jpeg_solid,
         "multimodal_jpeg_textured": _q_jpeg_textured,
         "multimodal_jpeg_progressive": _q_jpeg_progressive,
@@ -1420,7 +1440,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": _q_token_count,
         "text_quality": _q_quality,
         "text_langid": _q_langid,
-        "text_repetition": _q_text_repetition,
         "text_redact_pii": _q_redact_pii,
         "split_by_hash": _q_split_by_hash,
         "contamination_check": _q_contamination,
@@ -1431,6 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         # -- 3: tail (green on r2-r4 boards; local gate each round) ---
+        "text_repetition": _q_text_repetition,
         "j4_like_lookup": _q_like_lookup,
         "text_fingerprint": _q_fingerprint,
         "s6_positional_sql": _q_positional_sql,
@@ -2603,6 +2623,28 @@ def oracle_sql() -> dict[str, str]:
                        for m, d in plrows)
     q["multimodal_png_palette"] = (
         f"SELECT * FROM (VALUES {plvals}) t(media_id, width, height, payload_md5)"
+    )
+    # GIF: same pal[idx] spec oracle at different output dims — the
+    # Spark side must LZW-decode (and de-interlace odd ids) first.
+    gfw, gfh = 6, 4
+    gfrows = []
+    for i in range(300):
+        s = _row_spec(i, 42)
+        if s["kind"] != "image":
+            continue
+        w, h = s["width"], s["height"]
+        pal, idx = build_palette_pixels(i, 42, w, h)
+        rgb = pal[idx]
+        import numpy as _np
+
+        rs = (_np.arange(gfh) * h) // gfh
+        cs = (_np.arange(gfw) * w) // gfw
+        payload = encode_png(_np.ascontiguousarray(rgb[rs][:, cs]))
+        gfrows.append((i, _hl.md5(payload).hexdigest()))
+    gfvals = ", ".join(f"(CAST({m} AS BIGINT), {gfw}, {gfh}, '{d}')"
+                      for m, d in gfrows)
+    q["multimodal_gif_palette"] = (
+        f"SELECT * FROM (VALUES {gfvals}) t(media_id, width, height, payload_md5)"
     )
     # JPEG solid-gray decode: the expected pixel value is analytic (the
     # encoded constant) — zero codec code on the oracle side.

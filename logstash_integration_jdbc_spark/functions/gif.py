@@ -1,0 +1,226 @@
+"""Pure-stdlib GIF codec (decode + test-grade encoder).
+
+Real format, real decoder, no Pillow: header + logical screen
+descriptor, global/local color tables, extension-block skipping
+(Graphic Control transparency index is honored by dropping alpha —
+callers see RGB), image descriptors, variable-width LSB-first LZW
+decompression with dictionary reset, and the 4-pass interlace row
+ordering. ``parse_gif`` returns the FIRST frame as RGB — the
+frame-sampling story for animated GIFs is the same mapInPandas
+contract the M-JPEG path uses; later frames need disposal-method
+compositing, which (like MP4) is declared toward Pillow.
+
+The encoder exists so tests can build REAL GIF bytes without any
+library: single-frame, global palette, genuine LZW (dictionary growth,
+width increases, 4096-entry reset), optional interlace. A hand-written
+35-byte public-domain-shape 1×1 GIF vector anchors the decoder against
+an external stream, so the encoder/decoder pair cannot share a
+systematic bit-packing misunderstanding undetected.
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+def _lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> list[int]:
+    """GIF-variant LZW: LSB-first bit packing, variable code width
+    starting at min_code_size+1, CLEAR resets the dictionary, width
+    grows when the next free slot reaches 2^width (cap 12 bits)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out: list[int] = []
+
+    bitpos = 0
+    nbits = len(data) * 8
+
+    def read_code(width: int) -> int:
+        nonlocal bitpos
+        if bitpos + width > nbits:
+            return end  # truncated stream: treat as end-of-information
+        byte0 = bitpos >> 3
+        # up to 3 bytes cover any ≤12-bit code at any alignment
+        window = int.from_bytes(data[byte0 : byte0 + 3], "little")
+        code = (window >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        return code
+
+    def reset():
+        table = [[i] for i in range(clear)] + [[], []]
+        return table, min_code_size + 1
+
+    table, width = reset()
+    prev: list[int] | None = None
+    while len(out) < max_pixels:
+        code = read_code(width)
+        if code == clear:
+            table, width = reset()
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table) and table[code]:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + [prev[0]]  # the KwKwK case
+        else:
+            raise ValueError(f"bad LZW code {code} in GIF stream")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out[:max_pixels]
+
+
+def _lzw_encode(min_code_size: int, indices: list[int]) -> bytes:
+    """Encoder dual of ``_lzw_decode`` (same width-growth rule, offset
+    by the decoder's one-entry lag)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    codes: list[tuple[int, int]] = []  # (code, width)
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}, end + 1, min_code_size + 1
+
+    table, next_code, width = fresh()
+    codes.append((clear, width))
+    w = b""
+    for px in indices:
+        wk = w + bytes([px])
+        if wk in table:
+            w = wk
+            continue
+        codes.append((table[w], width))
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            # decoder adds this entry AFTER consuming the code above,
+            # so its width bump lands before the NEXT code — mirror it
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            codes.append((clear, width))
+            table, next_code, width = fresh()
+        w = bytes([px])
+    if w:
+        codes.append((table[w], width))
+    codes.append((end, width))
+
+    acc = 0
+    nacc = 0
+    out = bytearray()
+    for code, cw in codes:
+        acc |= code << nacc
+        nacc += cw
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    if nacc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _deinterlace_rows(h: int) -> list[int]:
+    """Source-row order of an interlaced GIF → target row index list."""
+    rows = []
+    for start, step in _INTERLACE_PASSES:
+        rows.extend(range(start, h, step))
+    return rows
+
+
+def parse_gif(payload: bytes):
+    """Decode the first frame of a GIF87a/89a → (width, height,
+    RGB ndarray (h, w, 3)). Transparent pixels resolve to their palette
+    color (alpha drops, same contract as PNG/JPEG decode)."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, dtype=np.uint8,
+                            count=3 * n, offset=pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        pal = gct
+        if ipacked & 0x80:  # local color table
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(payload, dtype=np.uint8,
+                                count=3 * n, offset=pos).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF frame has no color table")
+        min_code_size = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(min_code_size, bytes(data), w * h)
+        if len(idx) < w * h:
+            raise ValueError("truncated GIF image data")
+        arr = np.asarray(idx, dtype=np.int32).reshape(h, w)
+        if ipacked & 0x40:  # interlaced: reorder rows
+            out = np.zeros_like(arr)
+            out[_deinterlace_rows(h)] = arr
+            arr = out
+        if int(arr.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("GIF index out of color-table range")
+        return w, h, pal[arr]
+    raise ValueError("GIF contains no image descriptor")
+
+
+def encode_gif(idx, palette, interlace: bool = False) -> bytes:
+    """Single-frame GIF from an (h, w) index array + (n, 3) palette
+    (n a power of two, 2..256). Real LZW; fixture factory for tests."""
+    import numpy as np
+
+    idx = np.ascontiguousarray(idx, dtype=np.uint8)
+    palette = np.ascontiguousarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    n = palette.shape[0]
+    if n < 2 or n & (n - 1):
+        raise ValueError("palette size must be a power of two >= 2")
+    if int(idx.max(initial=0)) >= n:
+        raise ValueError("index out of palette range")
+    size_field = n.bit_length() - 2  # 2 << f == n
+    min_code_size = max(2, n.bit_length() - 1)
+    rows = idx[_deinterlace_rows(h)] if interlace else idx
+    data = _lzw_encode(min_code_size, rows.reshape(-1).tolist())
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | size_field, 0, 0)
+    out += palette.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h,
+                       0x40 if interlace else 0x00)
+    out.append(min_code_size)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3B"
+    return bytes(out)

@@ -228,6 +228,13 @@ def build_payload(spec: dict, seed: int, image_format: str = "ppm",
         if image_format == "png-palette":
             return build_palette_png(
                 spec["media_id"], seed, spec["width"], spec["height"])
+        if image_format == "gif":
+            from logstash_integration_jdbc_spark.functions.gif import encode_gif
+
+            pal, idx = build_palette_pixels(
+                spec["media_id"], seed, spec["width"], spec["height"])
+            # odd ids interlace → both row layouts exercised end-to-end
+            return encode_gif(idx, pal, interlace=bool(spec["media_id"] % 2))
         if image_format == "jpeg":
             from logstash_integration_jdbc_spark.functions.jpeg import encode_jpeg
 
@@ -252,7 +259,7 @@ def gen_media(spark, n_rows: int = 100, seed: int = 42,
     ``image_format`` "png"/"jpeg" emits images as real zlib-compressed
     PNGs / baseline JPEGs; ``video_format="mjpeg"`` emits videos as
     motion-JPEG — concatenated real baseline JPEGs)."""
-    if image_format not in ("ppm", "png", "png-palette", "jpeg"):
+    if image_format not in ("ppm", "png", "png-palette", "gif", "jpeg"):
         raise ValueError(f"unsupported image_format {image_format!r}")
     if video_format not in ("ppm", "mjpeg"):
         raise ValueError(f"unsupported video_format {video_format!r}")
@@ -264,8 +271,9 @@ def gen_media(spark, n_rows: int = 100, seed: int = 42,
                 spec = _row_spec(int(mid), seed)
                 mime = _MIMES[spec["kind"]]
                 if spec["kind"] == "image" and image_format != "ppm":
-                    mime = ("image/png" if image_format == "png-palette"
-                            else f"image/{image_format}")
+                    mime = {"png-palette": "image/png",
+                            "gif": "image/gif"}.get(
+                        image_format, f"image/{image_format}")
                 if spec["kind"] == "video" and video_format == "mjpeg":
                     mime = "video/x-motion-jpeg"
                 rows.append({
@@ -535,12 +543,26 @@ def _png_features(payload: bytes, dim: int) -> tuple[int, int, list[float]]:
 
 
 def _jpeg_features(payload: bytes, dim: int) -> tuple[int, int, list[float]]:
-    """Bucket-mean features over the baseline-JPEG-decoded RGB stream."""
+    """Bucket-mean features over the JPEG-decoded RGB stream."""
     import numpy as np
 
     from logstash_integration_jdbc_spark.functions.jpeg import parse_jpeg
 
     w, h, px = parse_jpeg(payload)
+    flat = px.reshape(-1).astype(np.float64)
+    if len(flat) == 0:
+        return w, h, [0.0] * dim
+    buckets = np.array_split(flat, dim)
+    return w, h, [float(b.mean() / 255.0) if len(b) else 0.0 for b in buckets]
+
+
+def _gif_features(payload: bytes, dim: int) -> tuple[int, int, list[float]]:
+    """Bucket-mean features over the GIF-decoded RGB stream."""
+    import numpy as np
+
+    from logstash_integration_jdbc_spark.functions.gif import parse_gif
+
+    w, h, px = parse_gif(payload)
     flat = px.reshape(-1).astype(np.float64)
     if len(flat) == 0:
         return w, h, [0.0] * dim
@@ -571,10 +593,12 @@ def extract_image_features(df: DataFrame, dim: int = 32, fake: bool = False) -> 
                     w, h, feats = _png_features(bytes(payload), dim)
                 elif bytes(payload[:2]) == b"\xFF\xD8":
                     w, h, feats = _jpeg_features(bytes(payload), dim)
+                elif bytes(payload[:4]) == b"GIF8":
+                    w, h, feats = _gif_features(bytes(payload), dim)
                 else:
                     raise NotImplementedError(
                         f"image decode for {meta['mime']!r} requires Pillow/"
-                        "torchvision; P6 PPM, PNG and baseline JPEG decode "
+                        "torchvision; P6 PPM, PNG, GIF and JPEG decode "
                         "stdlib-side"
                     )
                 rows["media_id"].append(mid)
@@ -736,13 +760,20 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
                     # right default for training-data pipelines
                     w, h, px = parse_jpeg(b)
                     lossless_png_out = True
+                elif b[:4] == b"GIF8":
+                    from logstash_integration_jdbc_spark.functions.gif import (
+                        parse_gif,
+                    )
+
+                    w, h, px = parse_gif(b)
+                    lossless_png_out = True
                 elif b[:2] == b"P6":
                     w, h, start, end = parse_ppm(b)
                     px = np.frombuffer(b[start:end], dtype=np.uint8).reshape(h, w, 3)
                 else:
                     raise NotImplementedError(
                         f"image resize for {meta['mime']!r} requires Pillow; "
-                        "P6 PPM, PNG and baseline JPEG decode stdlib-side"
+                        "P6 PPM, PNG, GIF and JPEG decode stdlib-side"
                     )
                 rs = (np.arange(out_h, dtype=np.int64) * h) // out_h
                 cs = (np.arange(out_w, dtype=np.int64) * w) // out_w

@@ -58,10 +58,10 @@ def test_image_features_real_ppm_decode(media):
 
 
 def test_image_decode_unsupported_mime_raises(spark):
-    # GIF is genuinely unsupported (JPEG/PNG/PPM now decode for real)
+    # BMP is genuinely unsupported (JPEG/PNG/GIF/PPM now decode for real)
     df = spark.createDataFrame(
-        [(1, "image", bytearray(b"GIF89a fake gif body"),
-          (4, 4, 0, 0, "image/gif"))],
+        [(1, "image", bytearray(b"BM fake bmp body here"),
+          (4, 4, 0, 0, "image/bmp"))],
         "media_id long, kind string, payload binary, "
         "meta struct<width:int,height:int,sample_rate:int,n_frames:int,mime:string>",
     )
@@ -222,9 +222,9 @@ def test_resize_unsupported_mime_raises(spark):
     )
 
     gif = spark.createDataFrame(
-        [Row(media_id=1, kind="image", payload=b"GIF89afakegif",
+        [Row(media_id=1, kind="image", payload=b"BM fake bmp body",
              meta=Row(width=4, height=4, sample_rate=0, n_frames=0,
-                      mime="image/gif"))],
+                      mime="image/bmp"))],
         schema=MEDIA_SCHEMA,
     )
     with pytest.raises(Exception, match="Pillow"):
