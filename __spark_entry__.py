@@ -1385,8 +1385,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first". Rotation policy (recorded in COVERAGE.md per round):
 
     1. Entries with NO driver row yet, or none on the latest board,
-       come first (r5: the 13 r4 board-absent entries + the new
-       multimodal_png_palette).
+       come first (r5: the 13 r4 board-absent entries + the four new
+       entries — multimodal_png_palette / multimodal_gif_palette /
+       multimodal_jpeg_progressive in the head group, dedup_substring
+       with its dedup siblings).
     2. The §2-operator core fills the rest of the 50-row window.
     3. Entries green on ≥2 consecutive boards rotate to the tail
        (positions 51+); they stay fully oracle-checked every round via

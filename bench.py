@@ -130,18 +130,22 @@ def _media_input(spark, fmt: str, n_rows: int) -> str:
     base = os.path.join(tempfile.gettempdir(), f"ljspark-media-{fmt}-{n_rows}")
     marker = os.path.join(base, "_DONE")
     if not os.path.exists(marker):
-        if fmt == "jpeg_large":
-            # 64 256×256 baseline JPEGs: the 16-64 px gen_media images
-            # measure per-image overhead; this rep measures the codec
+        if fmt in ("jpeg_large", "jpeg_prog_large"):
+            # 64 256×256 JPEGs: the 16-64 px gen_media images measure
+            # per-image overhead; these reps measure the codec (baseline
+            # 4:2:0 vs the progressive successive-approximation ladder)
             import pandas as pd
 
             from logstash_integration_jdbc_spark.functions.jpeg import (
                 encode_jpeg,
+                encode_jpeg_progressive,
             )
             from logstash_integration_jdbc_spark.operators.multimodal import (
                 MEDIA_SCHEMA,
                 _pixel_bytes,
             )
+
+            progressive = fmt == "jpeg_prog_large"
 
             def gen(batches):
                 import numpy as np
@@ -153,10 +157,13 @@ def _media_input(spark, fmt: str, n_rows: int) -> str:
                         px = np.frombuffer(
                             _pixel_bytes(i, 7, 256 * 256 * 3), dtype=np.uint8
                         ).reshape(256, 256, 3)
+                        blob = (encode_jpeg_progressive(px, quality=90)
+                                if progressive
+                                else encode_jpeg(px, quality=90,
+                                                 subsample=True))
                         rows.append({
                             "media_id": i, "kind": "image",
-                            "payload": encode_jpeg(px, quality=90,
-                                                   subsample=True),
+                            "payload": blob,
                             "meta": {"width": 256, "height": 256,
                                      "sample_rate": 0, "n_frames": 0,
                                      "mime": "image/jpeg"},
@@ -194,7 +201,8 @@ def run_media_decode_bench(spark, n_rows: int = MEDIA_ROWS,
     )
 
     out = {}
-    for fmt in ("ppm", "png", "jpeg", "jpeg_large", "mjpeg"):
+    for fmt in ("ppm", "png", "gif", "jpeg", "jpeg_large",
+                "jpeg_prog_large", "mjpeg"):
         path = _media_input(spark, fmt, n_rows)
         df = spark.read.parquet(path)
         kind = "video" if fmt == "mjpeg" else "image"
