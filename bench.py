@@ -253,6 +253,27 @@ def _docs_input(spark, n_rows: int) -> str:
     return os.path.join(base, "documents.parquet")
 
 
+def run_substring_bench(spark, n_rows: int = MINHASH_ROWS,
+                        reps: int = BENCH_REPS) -> dict:
+    """Winnowed exact-substring pairs at volume over the same controlled
+    corpus: wall, docs/s, pair count (the corpus's 2% template near-dups
+    share ≥13-token runs, so the expected pair count equals minhash's
+    verified 20k — an independent cross-check of both operators)."""
+    from logstash_integration_jdbc_spark.operators.dedup import (
+        substring_dup_pairs,
+    )
+
+    docs = spark.read.parquet(_docs_input(spark, n_rows))
+    walls, pairs = [], 0
+    for _ in range(max(reps, 1)):
+        t0 = time.time()
+        pairs = substring_dup_pairs(docs, min_tokens=10, window=4).count()
+        walls.append(time.time() - t0)
+    wall = min(walls)
+    return {"wall_sec": round(wall, 3), "rows": n_rows,
+            "docs_per_sec": round(n_rows / wall, 1), "pairs": int(pairs)}
+
+
 def run_minhash_bench(spark, n_rows: int = MINHASH_ROWS,
                       reps: int = BENCH_REPS) -> dict:
     """MinHash+LSH near-dup at volume (VERDICT r3 ask #6): wall, docs/s,
@@ -351,6 +372,9 @@ def main_bench() -> None:
                              reps=MINHASH_8M_REPS)
     per_query["dedup_minhash_8m"] = mh8m["wall_sec"]
 
+    sub1m = run_substring_bench(spark)
+    per_query["dedup_substring_1m"] = sub1m["wall_sec"]
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # r4 lesson: the driver's tail capture truncated the FRONT of one
     # long line and lost the machine-readable headline. Split output:
@@ -363,6 +387,7 @@ def main_bench() -> None:
         "media_decode": media,
         "minhash_1m": mh,
         "minhash_8m": mh8m,
+        "substring_1m": sub1m,
     }
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
