@@ -1159,6 +1159,45 @@ def _q_mjpeg_frames(spark, sf_dir):
         schema="media_id bigint, frame_idx int, width int, height int, frame_md5 string")
 
 
+def _q_gif_frames(spark, sf_dir):
+    # animated-GIF VIDEO path: sample_frames re-wraps each full-canvas
+    # frame as a STANDALONE single-frame GIF (shared prefix + that
+    # frame's descriptor), then each sampled frame LZW-decodes with the
+    # real codec. Oracle: the expected standalone frame is byte-equal
+    # to encode_gif(frame_indices, palette) from the deterministic
+    # spec, so expected md5 + dims are rebuilt without the splitter or
+    # decoder (builders/encoder shared, same policy as mjpeg_frames).
+    import hashlib as _hl
+
+    import pandas as pd
+
+    from logstash_integration_jdbc_spark.functions.gif import parse_gif
+    from logstash_integration_jdbc_spark.operators.multimodal import (
+        gen_media,
+        sample_frames,
+    )
+
+    _pin(spark)
+    frames = sample_frames(gen_media(spark, n_rows=300, video_format="gif"),
+                           every_n=2, max_frames=3)
+
+    def dec(batches):
+        for pdf in batches:
+            rows = []
+            for mid, idx, fb in zip(pdf["media_id"], pdf["frame_idx"],
+                                    pdf["frame_bytes"]):
+                b = bytes(fb)
+                w, h, _px = parse_gif(b)
+                rows.append({"media_id": int(mid), "frame_idx": int(idx),
+                             "width": w, "height": h,
+                             "frame_md5": _hl.md5(b).hexdigest()})
+            yield pd.DataFrame(rows)
+
+    return frames.mapInPandas(
+        dec,
+        schema="media_id bigint, frame_idx int, width int, height int, frame_md5 string")
+
+
 def _q_resize(spark, sf_dir):
     # real decode→resample→re-encode through the driver gate: the oracle
     # recomputes every resized payload's md5 with an independent
@@ -1409,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png_resize": _q_png_resize,
         "multimodal_png_palette": _q_png_palette,
         "multimodal_gif_palette": _q_gif_palette,
+        "multimodal_gif_frames": _q_gif_frames,
         "multimodal_jpeg_solid": _q_jpeg_solid,
         "multimodal_jpeg_textured": _q_jpeg_textured,
         "multimodal_jpeg_progressive": _q_jpeg_progressive,
@@ -1436,7 +1476,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": _q_tpch_q3,
         "dedup_exact_norm": _q_dedup_exact_norm,
         "dedup_minhash": _q_dedup_minhash,
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_simhash": _q_simhash,
         "dedup_substring": _q_dedup_substring,
         "text_token_count": _q_token_count,
@@ -1452,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         # -- 3: tail (green on r2-r4 boards; local gate each round) ---
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "text_repetition": _q_text_repetition,
         "j4_like_lookup": _q_like_lookup,
         "text_fingerprint": _q_fingerprint,
@@ -2532,6 +2572,38 @@ def oracle_sql() -> dict[str, str]:
     )
     q["multimodal_mjpeg_frames"] = (
         f"SELECT * FROM (VALUES {mvals}) "
+        "t(media_id, frame_idx, width, height, frame_md5)"
+    )
+    # animated-GIF frame sample: the re-wrapped standalone frame is
+    # byte-identical to encode_gif(frame_indices, palette) — rebuild it
+    # from the spec (builders shared; splitter + LZW decoder not).
+    from logstash_integration_jdbc_spark.functions.gif import encode_gif as _eg
+    from logstash_integration_jdbc_spark.operators.multimodal import (
+        build_palette_pixels as _bpp,
+    )
+
+    grows = []
+    for i in range(300):
+        s = _row_spec(i, 42)
+        if s["kind"] != "video":
+            continue
+        pal, _ = _bpp(i, 42, s["width"], s["height"])
+        taken = 0
+        for idx in range(0, s["n_frames"], 2):
+            if taken >= 3:
+                break
+            img = (_np2.frombuffer(
+                _pb(i, 42, s["width"] * s["height"], salt=20 + idx),
+                dtype=_np2.uint8) % 16).reshape(s["height"], s["width"])
+            grows.append((i, idx, s["width"], s["height"],
+                          _hl2.md5(_eg(img, pal)).hexdigest()))
+            taken += 1
+    gvals = ", ".join(
+        f"(CAST({m} AS BIGINT), {idx}, {w}, {h}, '{d}')"
+        for m, idx, w, h, d in grows
+    )
+    q["multimodal_gif_frames"] = (
+        f"SELECT * FROM (VALUES {gvals}) "
         "t(media_id, frame_idx, width, height, frame_md5)"
     )
     # resize: expected md5 of each resized payload, computed by an

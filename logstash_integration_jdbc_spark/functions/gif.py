@@ -195,6 +195,95 @@ def parse_gif(payload: bytes):
     raise ValueError("GIF contains no image descriptor")
 
 
+def split_gif_frames(payload: bytes) -> list[bytes]:
+    """Each frame of an animated GIF as a STANDALONE single-frame GIF
+    (shared header + global color table re-prefixed), so every emitted
+    frame decodes independently via ``parse_gif`` — the same contract
+    as the M-JPEG frame carver.
+
+    Supported subset, honestly bounded: full-canvas frames (left=top=0,
+    frame dims = screen dims) without a transparency flag — each frame
+    fully repaints, so the sampled frame IS the displayed frame without
+    compositing. Partial frames and transparent frames require
+    disposal-method compositing against prior canvas state and raise
+    ``NotImplementedError`` naming Pillow."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+    prefix = payload[:pos]
+    frames: list[bytes] = []
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9 and payload[pos] >= 4 and payload[pos + 1] & 1:
+                raise NotImplementedError(
+                    "transparent GIF frames need Pillow (disposal "
+                    "compositing); opaque full-canvas animations split "
+                    "stdlib-side")
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        start = pos - 1
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        if (left, top) != (0, 0) or (w, h) != (sw, sh):
+            raise NotImplementedError(
+                "partial GIF frames need Pillow (disposal compositing); "
+                "full-canvas animations split stdlib-side")
+        pos += 9
+        if ipacked & 0x80:
+            pos += 3 * (2 << (ipacked & 0x07))
+        pos += 1  # LZW min code size
+        while payload[pos]:
+            pos += 1 + payload[pos]
+        pos += 1
+        frames.append(prefix + payload[start:pos] + b"\x3B")
+    return frames
+
+
+def encode_gif_animation(frames, palette) -> bytes:
+    """Multi-frame GIF from a list of (h, w) index arrays sharing one
+    global palette (full-canvas opaque frames — the subset
+    ``split_gif_frames`` supports). Fixture factory."""
+    import numpy as np
+
+    palette = np.ascontiguousarray(palette, dtype=np.uint8)
+    n = palette.shape[0]
+    if n < 2 or n & (n - 1):
+        raise ValueError("palette size must be a power of two >= 2")
+    h, w = np.asarray(frames[0]).shape
+    min_code_size = max(2, n.bit_length() - 1)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (n.bit_length() - 2), 0, 0)
+    out += palette.tobytes()
+    for idx in frames:
+        idx = np.ascontiguousarray(idx, dtype=np.uint8)
+        if idx.shape != (h, w):
+            raise ValueError("all frames must share the canvas dims")
+        if int(idx.max(initial=0)) >= n:
+            raise ValueError("index out of palette range")
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x00)
+        out.append(min_code_size)
+        data = _lzw_encode(min_code_size, idx.reshape(-1).tolist())
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
+
+
 def encode_gif(idx, palette, interlace: bool = False) -> bytes:
     """Single-frame GIF from an (h, w) index array + (n, 3) palette
     (n a power of two, 2..256). Real LZW; fixture factory for tests."""

@@ -219,6 +219,28 @@ def build_palette_png(media_id: int, seed: int, width: int, height: int) -> byte
             + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
 
 
+def build_gif_animation(media_id: int, seed: int, width: int, height: int,
+                        n_frames: int) -> bytes:
+    """Animated-GIF fixture: full-canvas opaque frames over the shared
+    16-color palette; frame i's index image is a pure function of
+    (media_id, seed, i) so oracle twins rebuild any frame's expected
+    bytes without decoding."""
+    import numpy as np
+
+    from logstash_integration_jdbc_spark.functions.gif import (
+        encode_gif_animation,
+    )
+
+    pal, _ = build_palette_pixels(media_id, seed, width, height)
+    frames = [
+        (np.frombuffer(_pixel_bytes(media_id, seed, width * height,
+                                    salt=20 + i), dtype=np.uint8)
+         % 16).reshape(height, width)
+        for i in range(n_frames)
+    ]
+    return encode_gif_animation(frames, pal)
+
+
 def build_payload(spec: dict, seed: int, image_format: str = "ppm",
                   video_format: str = "ppm") -> bytes:
     if spec["kind"] == "image":
@@ -248,6 +270,9 @@ def build_payload(spec: dict, seed: int, image_format: str = "ppm",
     if video_format == "mjpeg":
         return build_mjpeg_container(spec["media_id"], seed, spec["width"],
                                      spec["height"], spec["n_frames"])
+    if video_format == "gif":
+        return build_gif_animation(spec["media_id"], seed, spec["width"],
+                                   spec["height"], spec["n_frames"])
     return build_frame_container(spec["media_id"], seed, spec["width"],
                                  spec["height"], spec["n_frames"])
 
@@ -261,7 +286,7 @@ def gen_media(spark, n_rows: int = 100, seed: int = 42,
     motion-JPEG — concatenated real baseline JPEGs)."""
     if image_format not in ("ppm", "png", "png-palette", "gif", "jpeg"):
         raise ValueError(f"unsupported image_format {image_format!r}")
-    if video_format not in ("ppm", "mjpeg"):
+    if video_format not in ("ppm", "mjpeg", "gif"):
         raise ValueError(f"unsupported video_format {video_format!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -276,6 +301,8 @@ def gen_media(spark, n_rows: int = 100, seed: int = 42,
                         image_format, f"image/{image_format}")
                 if spec["kind"] == "video" and video_format == "mjpeg":
                     mime = "video/x-motion-jpeg"
+                if spec["kind"] == "video" and video_format == "gif":
+                    mime = "image/gif"  # animated GIF's registered type
                 rows.append({
                     "media_id": int(mid),
                     "kind": spec["kind"],
@@ -665,12 +692,14 @@ def sample_frames(df: DataFrame, every_n: int = 2, max_frames: int = 4,
                   fake: bool = False) -> DataFrame:
     """Frame-sample video payloads: one output row per sampled frame.
 
-    Real kernel: walks the container — concatenated-PPM or motion-JPEG
-    (sniffed by leading bytes: SOI ``FFD8`` → M-JPEG, else P6) —
-    emitting every ``every_n``-th frame's bytes (a complete standalone
-    PPM or JPEG) up to ``max_frames``. MP4 and other inter-frame codecs
-    need pyav/ffmpeg in the same contract. Fake kernel: deterministic
-    payload slices (plumbing only).
+    Real kernel: walks the container — concatenated-PPM, motion-JPEG,
+    or animated GIF (sniffed by leading bytes: SOI ``FFD8`` → M-JPEG,
+    ``GIF8`` → GIF, else P6) — emitting every ``every_n``-th frame's
+    bytes (a complete standalone PPM/JPEG/single-frame GIF) up to
+    ``max_frames``. GIF covers the compositing-free subset (full-canvas
+    opaque frames); partial/transparent animations and MP4/inter-frame
+    codecs need Pillow/pyav in the same contract. Fake kernel:
+    deterministic payload slices (plumbing only).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -699,6 +728,21 @@ def sample_frames(df: DataFrame, every_n: int = 2, max_frames: int = 4,
                             rows["media_id"].append(mid)
                             rows["frame_idx"].append(idx)
                             rows["frame_bytes"].append(b[start:end])
+                            taken += 1
+                    continue
+                if b[:4] == b"GIF8":  # animated GIF (full-canvas subset)
+                    from logstash_integration_jdbc_spark.functions.gif import (
+                        split_gif_frames,
+                    )
+
+                    taken = 0
+                    for idx, frame in enumerate(split_gif_frames(b)):
+                        if taken >= max_frames:
+                            break
+                        if idx % every_n == 0:
+                            rows["media_id"].append(mid)
+                            rows["frame_idx"].append(idx)
+                            rows["frame_bytes"].append(frame)
                             taken += 1
                     continue
                 offset, idx, taken = 0, 0, 0

@@ -83,3 +83,62 @@ def test_gif_spec_fixture_roundtrip():
         blob = encode_gif(idx, pal, interlace=bool(mid % 2))
         w, h, got = parse_gif(blob)
         assert (w, h) == (12, 9) and np.array_equal(got, pal[idx])
+
+
+def test_animated_gif_split_and_decode():
+    from logstash_integration_jdbc_spark.functions.gif import (
+        encode_gif_animation,
+        split_gif_frames,
+    )
+
+    rng = np.random.RandomState(17)
+    pal = rng.randint(0, 256, size=(16, 3)).astype(np.uint8)
+    frames = [rng.randint(0, 16, size=(9, 7)).astype(np.uint8)
+              for _ in range(5)]
+    blob = encode_gif_animation(frames, pal)
+    parts = split_gif_frames(blob)
+    assert len(parts) == 5
+    for f, part in zip(frames, parts):
+        w, h, got = parse_gif(part)
+        assert (w, h) == (7, 9) and np.array_equal(got, pal[f])
+    # each standalone frame is byte-identical to encode_gif of it —
+    # the property the driver oracle rests on
+    for f, part in zip(frames, parts):
+        assert part == encode_gif(f, pal)
+
+
+def test_split_gif_frames_compositing_boundary():
+    from logstash_integration_jdbc_spark.functions.gif import (
+        encode_gif_animation,
+        split_gif_frames,
+    )
+
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    blob = bytearray(encode_gif_animation(
+        [np.zeros((4, 4), np.uint8)] * 2, pal))
+    # shrink frame 2's descriptor dims → partial frame → Pillow boundary
+    i = blob.find(b"\x2C", 14)
+    j = blob.find(b"\x2C", i + 1)
+    blob[j + 5 : j + 7] = (2).to_bytes(2, "little")
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        split_gif_frames(bytes(blob))
+    # transparency flag in a GCE → Pillow boundary
+    gce = bytes.fromhex("21f904" + "05000000" + "00")
+    t = bytearray(encode_gif_animation([np.zeros((4, 4), np.uint8)], pal))
+    k = t.find(b"\x2C", 14)
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        split_gif_frames(bytes(t[:k]) + gce + bytes(t[k:]))
+
+
+def test_sample_frames_animated_gif(spark):
+    from logstash_integration_jdbc_spark.operators.multimodal import (
+        gen_media,
+        sample_frames,
+    )
+
+    media = gen_media(spark, n_rows=40, video_format="gif")
+    out = sample_frames(media, every_n=2, max_frames=3).collect()
+    assert out, "expected sampled GIF frames"
+    for r in out[:5]:
+        w, h, px = parse_gif(bytes(r.frame_bytes))
+        assert w > 0 and h > 0 and px.shape == (h, w, 3)
