@@ -742,6 +742,38 @@ def _q_quality(spark, sf_dir):
     )
 
 
+def _q_top_terms(spark, sf_dir):
+    from logstash_integration_jdbc_spark.operators.relevance import top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return top_terms(docs, k=20)
+
+
+def _q_tfidf(spark, sf_dir):
+    from logstash_integration_jdbc_spark.operators.relevance import tf_idf
+
+    docs = _t(spark, sf_dir, "documents")
+    return tf_idf(docs).select(
+        "doc_id", "term", "tf", "df",
+        F.round("weight", 6).alias("w6"))
+
+
+def _q_bm25_topk(spark, sf_dir):
+    from logstash_integration_jdbc_spark.operators.relevance import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "join", "window"], k=25)
+
+
+def _q_chunk_docs(spark, sf_dir):
+    from logstash_integration_jdbc_spark.operators.relevance import (
+        chunk_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_size=64, overlap=16)
+
+
 def _q_langid(spark, sf_dir):
     from logstash_integration_jdbc_spark.operators.textstats import lang_id
 
@@ -1509,6 +1541,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": _q_tpch_q6,
         "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_exact_keep": _q_dedup_exact_keep,
+        # -- 4: new this round (local gate now; rotate into the
+        #       window next round per the policy above) --------------
+        "text_top_terms": _q_top_terms,
+        "text_tfidf": _q_tfidf,
+        "text_bm25_topk": _q_bm25_topk,
+        "text_chunk_docs": _q_chunk_docs,
     }
 
 
@@ -2760,4 +2798,76 @@ def oracle_sql() -> dict[str, str]:
         "SELECT * FROM (VALUES " + ", ".join(pgrows)
         + ") t(media_id, tile_idx, r, g, b, uniform)"
     )
+
+    # Shared DuckDB twin of textstats.tokens_expr (trim/lower/\s+ split
+    # with the empty-text guard).
+    _toks = (r"CASE WHEN trim(text) = '' THEN []::VARCHAR[] "
+             r"ELSE regexp_split_to_array(trim(lower(text)), '\s+') END")
+    q["text_top_terms"] = rf"""
+        WITH tok AS (
+            SELECT unnest({_toks}) AS term FROM documents
+        )
+        SELECT term, count(*) AS n FROM tok
+        WHERE length(term) >= 1
+        GROUP BY term ORDER BY n DESC, term LIMIT 20
+    """
+    q["text_tfidf"] = rf"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_toks}) AS term FROM documents
+        ), post AS (
+            SELECT doc_id, term, count(*) AS tf FROM tok
+            GROUP BY doc_id, term
+        ), stats AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM post
+            GROUP BY term
+        ), n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT p.doc_id, p.term, p.tf, s.df,
+               round(p.tf * (ln((1.0 + n.n_docs) / (1.0 + s.df)) + 1.0),
+                     6) AS w6
+        FROM post p JOIN stats s USING (term) CROSS JOIN n
+    """
+    # BM25 constants mirror bm25_topk's defaults: k1=1.2, b=0.75,
+    # query = (spark, join, window), k=25.
+    q["text_bm25_topk"] = rf"""
+        WITH tok AS (
+            SELECT doc_id, len({_toks}) AS dl, unnest({_toks}) AS term
+            FROM documents
+        ), post AS (
+            SELECT doc_id, term, count(*) AS tf, min(dl) AS dl FROM tok
+            WHERE term IN ('spark', 'join', 'window')
+            GROUP BY doc_id, term
+        ), stats AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM post
+            GROUP BY term
+        ), corpus AS (
+            SELECT count(*) AS n_docs, avg(len({_toks})) AS avgdl
+            FROM documents
+        )
+        SELECT p.doc_id,
+               round(sum(
+                   ln(1.0 + (c.n_docs - s.df + 0.5) / (s.df + 0.5))
+                   * (p.tf * (1.2 + 1.0))
+                   / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / c.avgdl))
+               ), 6) AS score
+        FROM post p JOIN stats s USING (term) CROSS JOIN corpus c
+        GROUP BY p.doc_id
+        ORDER BY score DESC, p.doc_id LIMIT 25
+    """
+    # chunk_size=64, overlap=16, step=48 — mirror _q_chunk_docs.
+    q["text_chunk_docs"] = rf"""
+        WITH t AS (
+            SELECT doc_id, {_toks} AS toks FROM documents
+        ), s AS (
+            SELECT doc_id, toks, gs.g AS start
+            FROM t, LATERAL (
+                SELECT unnest(generate_series(
+                    0, greatest(len(toks) - 16 - 1, 0), 48)) AS g) gs
+        )
+        SELECT doc_id, CAST(start / 48 AS INT) AS chunk_idx,
+               CAST(len(list_slice(toks, start + 1, start + 64)) AS INT)
+                   AS chunk_tokens,
+               array_to_string(list_slice(toks, start + 1, start + 64), ' ')
+                   AS chunk_text
+        FROM s
+    """
     return q

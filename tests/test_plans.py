@@ -208,3 +208,41 @@ def test_pack_sequences_single_bucket_exchange(spark):
     # one shuffle on the bucket key feeding the packing kernel — the
     # token count and bucket hash are map-side
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_chunk_documents_is_map_only_jvm(spark):
+    from logstash_integration_jdbc_spark.operators.relevance import (
+        chunk_documents,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(chunk_documents(docs, chunk_size=64, overlap=16))
+    # sequence/explode/slice are all Catalyst generators — no shuffle,
+    # no Python; chunk rows inherit the scan's partitioning
+    assert "EvalPython" not in plan and "Exchange" not in plan
+    assert "Generate explode" in plan
+
+
+def test_bm25_broadcasts_stats_and_prunes_postings(spark):
+    from logstash_integration_jdbc_spark.operators.relevance import bm25_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(bm25_topk(docs, ["spark", "join"], k=5))
+    # term stats and the corpus one-row aggregate join broadcast —
+    # the only hash exchanges key the pruned postings aggregation and
+    # the final per-doc score aggregation
+    assert plan.count("BroadcastExchange") >= 2
+    assert "EvalPython" not in plan
+    # query-vocab pruning sits below the postings exchange: the IN
+    # filter must appear, and the final top-k is a TakeOrdered, not a
+    # global Sort
+    assert "term#" in plan and "TakeOrderedAndProject" in plan
+
+
+def test_tf_idf_broadcasts_term_stats(spark):
+    from logstash_integration_jdbc_spark.operators.relevance import tf_idf
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(tf_idf(docs))
+    assert plan.count("BroadcastExchange") >= 2
+    assert "EvalPython" not in plan
