@@ -655,6 +655,47 @@ def _q_split_by_hash(spark, sf_dir):
         F.sum("doc_id").cast("bigint").alias("sum_ids"))
 
 
+def _q_perplexity(spark, sf_dir):
+    # CCNet-style corpus-quality scoring: per-doc perplexity under an
+    # add-0.5 bigram model fit on the corpus itself; DuckDB replays the
+    # full model fit + scoring math.
+    from logstash_integration_jdbc_spark.operators.lm import perplexity
+
+    docs = _t(spark, sf_dir, "documents")
+    return perplexity(docs)
+
+
+def _q_sample_weighted(spark, sf_dir):
+    # quality-proportional deterministic downsample: keep-probability
+    # 0.5 * min(n_chars/400, 1), decided by the doc_id hash; the oracle
+    # replays every decision with the pure-Python XXH64 twin.
+    from logstash_integration_jdbc_spark.operators.sampling import (
+        sample_weighted,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    w = F.least(F.col("n_chars") / 400.0, F.lit(1.0))
+    out = sample_weighted(docs, F.col("doc_id"), w, scale=0.5)
+    return out.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("doc_id").cast("bigint").alias("sum_ids"))
+
+
+def _q_quota_per_source(spark, sf_dir):
+    # domain balancing: cap each source at 30 docs, survivors chosen by
+    # the deterministic doc_id-hash draw; per-source survivor count +
+    # id-sum is replayed by the XXH64 twin.
+    from logstash_integration_jdbc_spark.operators.sampling import (
+        quota_per_group,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = quota_per_group(docs, "source", 30, tiebreak_col="doc_id")
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("doc_id").cast("bigint").alias("sum_ids"))
+
+
 def _q_curation_funnel(spark, sf_dir):
     # end-to-end curation composition (redact → quality gate → language
     # gate → normalized exact dedup): the one-row per-stage survivor
@@ -1547,6 +1588,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": _q_tfidf,
         "text_bm25_topk": _q_bm25_topk,
         "text_chunk_docs": _q_chunk_docs,
+        "text_perplexity": _q_perplexity,
+        "sample_weighted": _q_sample_weighted,
+        "quota_per_source": _q_quota_per_source,
     }
 
 
@@ -2870,4 +2914,91 @@ def oracle_sql() -> dict[str, str]:
                    AS chunk_text
         FROM s
     """
+    # add-0.5 bigram LM perplexity, self-fit — mirror operators/lm.py:
+    # P(w2|w1) = (C(w1,w2)+0.5)/(C(w1)+0.5*V); ppl = exp(avg(-ln P));
+    # docs with <2 tokens emit (0, NULL).
+    q["text_perplexity"] = rf"""
+        WITH t AS (
+            SELECT doc_id, {_toks} AS toks FROM documents
+        ), bg AS (
+            SELECT doc_id, toks[g] AS w1, toks[g + 1] AS w2
+            FROM t, LATERAL (
+                SELECT unnest(generate_series(
+                    1, greatest(len(toks) - 1, 0))) AS g) gs
+        ), bc AS (
+            SELECT w1, w2, count(*) AS n_bg FROM bg GROUP BY w1, w2
+        ), cc AS (
+            SELECT w1, count(*) AS n_ctx FROM bg GROUP BY w1
+        ), v AS (
+            SELECT count(DISTINCT term) AS vocab
+            FROM (SELECT unnest(toks) AS term FROM t)
+        )
+        SELECT b.doc_id, count(*) AS n_bigrams,
+               round(exp(avg(-ln(
+                   (bc.n_bg + 0.5) / (cc.n_ctx + 0.5 * v.vocab)
+               ))), 6) AS ppl
+        FROM bg b
+        JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+        JOIN cc ON b.w1 = cc.w1
+        CROSS JOIN v
+        GROUP BY b.doc_id
+        UNION ALL
+        SELECT doc_id, CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)
+        FROM t WHERE len(toks) < 2
+    """
+
+    def _build_sample_weighted_sql() -> str:
+        import duckdb as _dk
+
+        from logstash_integration_jdbc_spark.functions.xxhash import xxh64_str
+        from logstash_integration_jdbc_spark.operators.sampling import (
+            HASH_BUCKETS,
+        )
+
+        rows = _dk.sql(
+            f"SELECT doc_id, n_chars FROM "
+            f"read_parquet('{_ORACLE_SF_DIR}/documents.parquet')"
+        ).fetchall()
+        n = 0
+        sm = 0
+        for did, n_chars in rows:
+            # mirror sample_weighted + the _q_sample_weighted weight:
+            # p = clamp(0.5 * min(n_chars/400, 1), 0, 1)
+            p = min(max(min(n_chars / 400.0, 1.0) * 0.5, 0.0), 1.0)
+            u = (xxh64_str(f"{did}#42") % HASH_BUCKETS) / float(HASH_BUCKETS)
+            if u < p:
+                n += 1
+                sm += did
+        return (f"SELECT CAST({n} AS BIGINT) AS n, "
+                f"CAST({sm} AS BIGINT) AS sum_ids")
+
+    q["sample_weighted"] = _value_oracle(
+        "sample_weighted", _build_sample_weighted_sql)
+
+    def _build_quota_sql() -> str:
+        import duckdb as _dk
+
+        from logstash_integration_jdbc_spark.functions.xxhash import xxh64_str
+        from logstash_integration_jdbc_spark.operators.sampling import (
+            HASH_BUCKETS,
+        )
+
+        rows = _dk.sql(
+            f"SELECT doc_id, source FROM "
+            f"read_parquet('{_ORACLE_SF_DIR}/documents.parquet')"
+        ).fetchall()
+        groups: dict[str, list[tuple[float, int]]] = {}
+        for did, src in rows:
+            u = (xxh64_str(f"{did}#42") % HASH_BUCKETS) / float(HASH_BUCKETS)
+            groups.setdefault(src, []).append((u, did))
+        vals = []
+        for src in sorted(groups):
+            kept = [d for _, d in sorted(groups[src])[:30]]
+            vals.append(
+                f"('{src}', CAST({len(kept)} AS BIGINT), "
+                f"CAST({sum(kept)} AS BIGINT))")
+        return ("SELECT * FROM (VALUES " + ", ".join(vals)
+                + ") t(source, n, sum_ids)")
+
+    q["quota_per_source"] = _value_oracle("quota_per_source", _build_quota_sql)
     return q

@@ -119,3 +119,53 @@ def sample_by_hash(df: DataFrame, key: Column, fraction: float,
     if not (0.0 <= fraction <= 1.0):
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     return df.filter(hash_uniform(key, seed) < fraction)
+
+
+def sample_weighted(df: DataFrame, key: Column, weight: Column,
+                    scale: float = 1.0, seed: int = 42) -> DataFrame:
+    """Importance sampling: keep each row with probability
+    ``clamp(weight * scale, 0, 1)``, decided deterministically by the
+    key hash (same key + seed ⇒ same decision on every run/engine).
+
+    The standard quality-proportional downsample: pass a quality score
+    in [0, 1] as ``weight`` and ``scale`` < 1 to thin the corpus while
+    biasing retention toward high-quality documents. Map-only.
+    """
+    p = F.least(F.greatest(weight * F.lit(scale), F.lit(0.0)), F.lit(1.0))
+    return df.filter(hash_uniform(key, seed) < p)
+
+
+def quota_per_group(df: DataFrame, group_col: str, quota: int,
+                    order_col: str | None = None, seed: int = 42,
+                    tiebreak_col: str | None = None) -> DataFrame:
+    """Cap rows per group at ``quota`` — the domain-balancing step that
+    stops one source/domain from dominating a training mix.
+
+    Which rows survive is deterministic: ordered by ``order_col``
+    ascending when given (e.g. a perplexity — keep the best), else by
+    the key hash (an unbiased random-but-reproducible draw;
+    ``tiebreak_col`` must then name a unique id column). One shuffle on
+    the group key; rank via a bounded per-group window — at 100 TB a
+    pathologically hot group concentrates on one task, so pre-filter
+    obvious floods (or salt + two-stage quota) if a single group may
+    exceed executor memory.
+    """
+    if quota <= 0:
+        raise ValueError(f"quota must be positive, got {quota}")
+    from pyspark.sql import Window
+
+    if order_col is not None:
+        order = [F.col(order_col).asc()]
+        if tiebreak_col:
+            order.append(F.col(tiebreak_col).asc())
+    else:
+        if not tiebreak_col:
+            raise ValueError(
+                "quota_per_group: tiebreak_col (a unique id) is required "
+                "when order_col is not given")
+        order = [hash_uniform(F.col(tiebreak_col), seed).asc(),
+                 F.col(tiebreak_col).asc()]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (df.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= quota)
+            .drop("_rk"))

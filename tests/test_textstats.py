@@ -205,3 +205,62 @@ def test_curate_documents_end_to_end(spark):
     assert funnel.n_input == docs.count()
     assert (funnel.n_input >= funnel.n_quality >= funnel.n_lang
             >= funnel.n_dedup == len(rows))
+
+
+def test_sample_weighted_bias_and_determinism(spark):
+    from logstash_integration_jdbc_spark.operators.sampling import (
+        hash_uniform,
+        sample_weighted,
+    )
+
+    df = spark.range(4000).select(
+        F.col("id"),
+        (F.when(F.col("id") % 2 == 0, 0.9).otherwise(0.1)).alias("q"))
+    out = sample_weighted(df, F.col("id"), F.col("q"), scale=1.0)
+    rows = out.collect()
+    hi = sum(1 for r in rows if r.q == 0.9)
+    lo = len(rows) - hi
+    # retention tracks the weight: ~90% of heavy rows, ~10% of light
+    assert 1650 < hi < 1950 and 100 < lo < 300
+    # deterministic and replayable from the hash contract
+    again = {r.id for r in out.collect()}
+    assert {r.id for r in rows} == again
+    u = {r.id: r.u for r in df.select(
+        "id", hash_uniform(F.col("id")).alias("u")).collect()}
+    exp = {r.id for r in df.collect() if u[r.id] < min(r.q, 1.0)}
+    assert again == exp
+    # scale caps at probability 1
+    assert sample_weighted(df, F.col("id"), F.lit(2.0), scale=3.0).count() == 4000
+
+
+def test_quota_per_group_caps_and_orders(spark):
+    from logstash_integration_jdbc_spark.operators.sampling import (
+        quota_per_group,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).cast("string").alias("src"),
+        (F.col("id") % 13).cast("double").alias("ppl"))
+    out = quota_per_group(df, "src", 20, tiebreak_col="id")
+    counts = {r.src: r.n for r in
+              out.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n == 20 for n in counts.values())
+    # deterministic under repartitioning
+    again = {r.id for r in quota_per_group(
+        df.repartition(17), "src", 20, tiebreak_col="id").collect()}
+    assert {r.id for r in out.collect()} == again
+    # order_col keeps the BEST rows (lowest ppl) per group
+    best = quota_per_group(df, "src", 5, order_col="ppl", tiebreak_col="id")
+    for r in best.groupBy("src").agg(F.max("ppl").alias("m")).collect():
+        assert r.m <= 1.0  # 1000/7 ≈ 143 rows/group → five ppl∈{0..12} dupes
+    # a group smaller than the quota survives whole
+    small = spark.createDataFrame(
+        [(1, "only")], "id bigint, src string")
+    assert quota_per_group(small, "src", 20, tiebreak_col="id").count() == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="quota"):
+        quota_per_group(df, "src", 0, tiebreak_col="id")
+    with _pytest.raises(ValueError, match="tiebreak_col"):
+        quota_per_group(df, "src", 5)
