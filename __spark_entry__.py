@@ -655,6 +655,40 @@ def _q_split_by_hash(spark, sf_dir):
         F.sum("doc_id").cast("bigint").alias("sum_ids"))
 
 
+def _q_dedup_incremental(spark, sf_dir):
+    # incremental ingest dedup: docs with doc_id%5==0 play the "new
+    # batch", the rest the already-ingested corpus whose band-key index
+    # is probed. Same 64/16 banding ⇒ same ≈4e-8 miss bound for the
+    # ≥0.9-jaccard pairs vs the exact cross oracle.
+    from logstash_integration_jdbc_spark.operators.dedup import (
+        build_minhash_index,
+        dedup_against_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    hist = docs.where(F.col("doc_id") % 5 != 0)
+    index = build_minhash_index(hist)
+    pairs = dedup_against_index(new, index, hist)
+    return pairs.where(F.col("jaccard") >= 0.8).select(
+        "new_id", "index_id", F.round("jaccard", 6).alias("jac"))
+
+
+def _q_gopher_rules(spark, sf_dir):
+    # Gopher document-quality rules (Rae et al. 2021) — flags + keep;
+    # min_words lowered to 20 for the synthetic short-doc corpus so the
+    # keep decision splits non-trivially.
+    from logstash_integration_jdbc_spark.operators.textstats import (
+        gopher_rules,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_rules(docs, min_words=20).select(
+        "doc_id", "g_n_words", "g_mean_wl", "g_words_ok", "g_mean_wl_ok",
+        "g_symbol_ok", "g_bullet_ok", "g_ellipsis_ok", "g_alpha_ok",
+        "g_stop_ok", "gopher_keep")
+
+
 def _q_perplexity(spark, sf_dir):
     # CCNet-style corpus-quality scoring: per-doc perplexity under an
     # add-0.5 bigram model fit on the corpus itself; DuckDB replays the
@@ -1591,6 +1625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_perplexity": _q_perplexity,
         "sample_weighted": _q_sample_weighted,
         "quota_per_source": _q_quota_per_source,
+        "gopher_rules": _q_gopher_rules,
+        "dedup_incremental": _q_dedup_incremental,
     }
 
 
@@ -2913,6 +2949,70 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(list_slice(toks, start + 1, start + 64), ' ')
                    AS chunk_text
         FROM s
+    """
+    # Incremental dedup oracle: exact trigram-shingle jaccard across
+    # the batch (doc_id%5=0) × history (doc_id%5≠0) cut.
+    q["dedup_incremental"] = f"""
+        WITH {_SHINGLES_CTE}
+        SELECT a.doc_id AS new_id, b.doc_id AS index_id,
+               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.s, b.s))), 6) AS jac
+        FROM sh a JOIN sh b
+          ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+    """
+    # Gopher rules replay — mirror textstats.gopher_rules(min_words=20)
+    # term by term (RE2-safe regexes shared verbatim).
+    q["gopher_rules"] = rf"""
+        WITH f AS (
+            SELECT doc_id, text, {_toks} AS toks,
+                   string_split(text, chr(10)) AS lines
+            FROM documents
+        ), m AS (
+            SELECT doc_id,
+                len(toks) AS n_words,
+                CASE WHEN len(toks) > 0 THEN
+                    length(regexp_replace(text, '\s+', '', 'g'))
+                        / CAST(len(toks) AS DOUBLE)
+                ELSE 0.0 END AS mean_wl,
+                CASE WHEN len(toks) > 0 THEN
+                    (len(regexp_extract_all(text, '#'))
+                     + len(regexp_extract_all(text, '\.\.\.'))
+                     + len(regexp_extract_all(text, '…')))
+                        / CAST(len(toks) AS DOUBLE)
+                ELSE 0.0 END AS symbol_ratio,
+                len(list_filter(lines,
+                    l -> regexp_matches(ltrim(l), '^([-*•])\s')))
+                    / CAST(len(lines) AS DOUBLE) AS bullet_frac,
+                len(list_filter(lines,
+                    l -> regexp_matches(rtrim(l), '(\.\.\.|…)$')))
+                    / CAST(len(lines) AS DOUBLE) AS ellipsis_frac,
+                CASE WHEN len(toks) > 0 THEN
+                    len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+                        / CAST(len(toks) AS DOUBLE)
+                ELSE 0.0 END AS alpha_frac,
+                len(list_intersect(list_distinct(toks),
+                    ['the','be','to','of','and','that','have','with']))
+                    AS n_stop
+            FROM f
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS g_n_words,
+               round(mean_wl, 6) AS g_mean_wl,
+               (n_words >= 20 AND n_words <= 100000) AS g_words_ok,
+               (mean_wl >= 3.0 AND mean_wl <= 10.0) AS g_mean_wl_ok,
+               (symbol_ratio <= 0.1) AS g_symbol_ok,
+               (bullet_frac <= 0.9) AS g_bullet_ok,
+               (ellipsis_frac <= 0.3) AS g_ellipsis_ok,
+               (alpha_frac >= 0.8) AS g_alpha_ok,
+               (n_stop >= 2) AS g_stop_ok,
+               ((n_words >= 20 AND n_words <= 100000)
+                AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+                AND (symbol_ratio <= 0.1) AND (bullet_frac <= 0.9)
+                AND (ellipsis_frac <= 0.3) AND (alpha_frac >= 0.8)
+                AND (n_stop >= 2)) AS gopher_keep
+        FROM m
     """
     # add-0.5 bigram LM perplexity, self-fit — mirror operators/lm.py:
     # P(w2|w1) = (C(w1,w2)+0.5)/(C(w1)+0.5*V); ppl = exp(avg(-ln P));

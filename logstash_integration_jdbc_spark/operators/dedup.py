@@ -916,3 +916,90 @@ def keep_representatives(df: DataFrame, pairs: DataFrame,
     losers = comps.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col))
     return df.join(losers, id_col, "left_anti")
+
+
+def build_minhash_index(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n_shingle: int = 3,
+                        num_hashes: int = 64, bands: int = 16) -> DataFrame:
+    """The persistable LSH index of a corpus: one (id, __band, __bucket)
+    row per (doc, band) — exactly the band keys
+    ``minhash_lsh_candidates`` computes internally, exposed so an
+    ingest pipeline can WRITE them once and probe them every batch.
+
+    At 100 TB: write this table partitioned/bucketed by
+    (__band, __bucket) (e.g. ``writeTo(...).partitionedBy(bucket(N,
+    "__bucket"))``) so every later probe joins co-located, and append
+    each accepted batch's keys — the index grows by O(batch), never
+    recomputed.
+    """
+    return minhash_band_buckets(df, id_col, text_col, n_shingle,
+                                num_hashes, bands)
+
+
+def dedup_against_index(new_df: DataFrame, index: DataFrame,
+                        index_texts: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n_shingle: int = 3,
+                        num_hashes: int = 64, bands: int = 16,
+                        ) -> DataFrame:
+    """Incremental near-dup detection: probe a NEW batch against the
+    stored band-key index of everything ingested so far — the daily
+    production shape (crawl batch vs history) where re-running
+    all-pairs LSH over history+batch would cost O(history) per day.
+
+    Returns (new_id, index_id, jaccard) with exact shingle jaccard
+    verified — filter by threshold downstream. Plan: the batch's band
+    keys (batch-sized) join the index on (__band, __bucket) — map-side
+    co-located when the index is bucket-partitioned, otherwise one
+    exchange of the BATCH side; history never re-shingles. Verification
+    re-reads text for candidate ids only (both sides pruned by the
+    candidate id set, so the index_texts scan is id-pushdown-prunable).
+    ``index_texts`` is (id, text) for index members; only candidate
+    rows are ever read.
+    """
+    new_bands = minhash_band_buckets(new_df, id_col, text_col, n_shingle,
+                                     num_hashes, bands)
+    idx = index.select(F.col(id_col).alias("index_id"),
+                       F.col("__band"), F.col("__bucket"))
+    cand = (new_bands
+            .select(F.col(id_col).alias("new_id"), "__band", "__bucket")
+            .join(idx, ["__band", "__bucket"])
+            .where(F.col("new_id") != F.col("index_id"))
+            .select("new_id", "index_id")
+            .distinct()
+            # small by banding design; feeds the two id-prunes below —
+            # same eager-materialization rationale as
+            # minhash_lsh_candidates (localCheckpoint, not persist)
+            .localCheckpoint(eager=True))
+    new_ids = cand.select(F.col("new_id").alias(id_col)).distinct()
+    idx_ids = cand.select(F.col("index_id").alias(id_col)).distinct()
+    sh_new = _shingled(_spread(new_df.join(new_ids, id_col), id_col,
+                               text_col), id_col, text_col, n_shingle)
+    sh_idx = _shingled(_spread(index_texts.join(idx_ids, id_col), id_col,
+                               text_col), id_col, text_col, n_shingle)
+    return (cand
+            .join(sh_new.withColumnsRenamed(
+                {id_col: "new_id", "__sh": "__sh_n"}), "new_id")
+            .join(sh_idx.withColumnsRenamed(
+                {id_col: "index_id", "__sh": "__sh_i"}), "index_id")
+            .withColumn(
+                "jaccard",
+                F.size(F.array_intersect("__sh_n", "__sh_i"))
+                / F.size(F.array_union("__sh_n", "__sh_i")))
+            .select("new_id", "index_id", "jaccard"))
+
+
+def novel_in_batch(new_df: DataFrame, index: DataFrame,
+                   index_texts: DataFrame, threshold: float = 0.8,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   n_shingle: int = 3, num_hashes: int = 64,
+                   bands: int = 16) -> DataFrame:
+    """The accept set: new-batch rows with NO index match ≥ threshold.
+
+    Anti-join of the batch against its verified matches — the rows to
+    append to the corpus (and whose band keys to append to the index).
+    """
+    matches = (dedup_against_index(new_df, index, index_texts, id_col,
+                                   text_col, n_shingle, num_hashes, bands)
+               .where(F.col("jaccard") >= threshold)
+               .select(F.col("new_id").alias(id_col)).distinct())
+    return new_df.join(matches, [id_col], "left_anti")

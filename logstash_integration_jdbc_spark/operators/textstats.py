@@ -179,3 +179,72 @@ def redact_pii(df: DataFrame, text_col: str = "text",
     for pat, repl in PII_PATTERNS:
         col = F.regexp_replace(col, pat, repl)
     return df.withColumn(out_col, col)
+
+
+# Gopher stop-word set (Rae et al. 2021, §A1.1): a doc must contain at
+# least two DISTINCT of these to pass the stop-word rule.
+GOPHER_STOPWORDS: list[str] = [
+    "the", "be", "to", "of", "and", "that", "have", "with",
+]
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_wl: float = 3.0, max_mean_wl: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 max_bullet_frac: float = 0.9,
+                 max_ellipsis_frac: float = 0.3,
+                 min_alpha_frac: float = 0.8,
+                 min_stopwords: int = 2) -> DataFrame:
+    """The Gopher document-quality rules (Rae et al. 2021, §A1.1) as
+    one map-only pass: per-rule boolean flags + a conjunctive
+    ``gopher_keep``.
+
+    Rules: word count in [min,max]; mean word length in [3,10];
+    hash/ellipsis symbol-to-word ratio ≤ 0.1; ≤ 90% of lines start
+    with a bullet; ≤ 30% of lines end with an ellipsis; ≥ 80% of words
+    contain an alphabetic character; ≥ 2 distinct Gopher stop words.
+    Pure Catalyst expressions (split/filter/size/regexp_count) — no
+    shuffle, no Python; thresholds parametrized to retune per corpus.
+    """
+    text = F.col(text_col)
+    toks = tokens_expr(text)
+    n_words = F.size(toks)
+    nf = n_words.cast("double")
+    mean_wl = F.when(
+        n_words > 0,
+        F.length(F.regexp_replace(text, r"\s+", "")) / nf).otherwise(0.0)
+    n_symbols = (F.regexp_count(text, F.lit(r"#"))
+                 + F.regexp_count(text, F.lit(r"\.\.\."))
+                 + F.regexp_count(text, F.lit("…")))
+    symbol_ratio = F.when(n_words > 0, n_symbols / nf).otherwise(0.0)
+    lines = F.split(text, r"\n")
+    n_lines = F.size(lines).cast("double")
+    bullet_frac = F.size(F.filter(
+        lines, lambda l: F.ltrim(l).rlike(r"^([-*•])\s"))) / n_lines
+    ellipsis_frac = F.size(F.filter(
+        lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))) / n_lines
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / nf
+        ).otherwise(0.0)
+    stops = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stops))
+    flags = {
+        "g_words_ok": (n_words >= min_words) & (n_words <= max_words),
+        "g_mean_wl_ok": (mean_wl >= min_mean_wl) & (mean_wl <= max_mean_wl),
+        "g_symbol_ok": symbol_ratio <= max_symbol_ratio,
+        "g_bullet_ok": bullet_frac <= max_bullet_frac,
+        "g_ellipsis_ok": ellipsis_frac <= max_ellipsis_frac,
+        "g_alpha_ok": alpha_frac >= min_alpha_frac,
+        "g_stop_ok": n_stop >= min_stopwords,
+    }
+    out = df.withColumns({
+        "g_n_words": n_words.cast("bigint"),
+        "g_mean_wl": F.round(mean_wl, 6),
+        **flags,
+    })
+    keep = None
+    for c in flags:
+        keep = F.col(c) if keep is None else keep & F.col(c)
+    return out.withColumn("gopher_keep", keep)

@@ -506,3 +506,62 @@ def test_substring_pairs_validation(spark):
         winnow_anchors(df, min_tokens=1)
     with _pytest.raises(ValueError):
         winnow_anchors(df, window=0)
+
+
+def test_dedup_against_index_finds_cross_dups(spark):
+    from logstash_integration_jdbc_spark.operators.dedup import (
+        build_minhash_index,
+        dedup_against_index,
+        novel_in_batch,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "watches from the warm windowsill in the afternoon sun")
+    hist_rows = [(i, f"history document number {i} " + base) for i in range(20)]
+    # batch: 100 duplicates history doc 3's text exactly; 101 is novel
+    batch_rows = [
+        (100, "history document number 3 " + base),
+        (101, "completely different content about distributed query "
+              "engines shuffling partitioned columnar data at scale"),
+    ]
+    hist = spark.createDataFrame(hist_rows, "doc_id bigint, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id bigint, text string")
+    index = build_minhash_index(hist)
+    pairs = dedup_against_index(batch, index, hist)
+    strong = {(r.new_id, r.index_id) for r in pairs.collect()
+              if r.jaccard >= 0.8}
+    assert (100, 3) in strong
+    assert not any(n == 101 for n, _ in strong)
+    exact = [r for r in pairs.collect() if (r.new_id, r.index_id) == (100, 3)]
+    assert exact[0].jaccard == 1.0
+    # accept set: only the novel doc survives
+    kept = novel_in_batch(batch, index, hist, threshold=0.8)
+    assert [r.doc_id for r in kept.collect()] == [101]
+
+
+def test_dedup_against_index_matches_full_lsh(spark):
+    # probing batch-vs-index must find exactly the cross pairs the
+    # monolithic LSH over the union finds (same banding)
+    from logstash_integration_jdbc_spark.operators.dedup import (
+        build_minhash_index,
+        dedup_against_index,
+        minhash_lsh_candidates,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    hist = docs.where(F.col("doc_id") % 5 != 0)
+    got = {(r.new_id, r.index_id)
+           for r in dedup_against_index(
+               batch, build_minhash_index(hist), hist).collect()
+           if r.jaccard >= 0.8}
+    full = minhash_lsh_candidates(docs).where(F.col("jaccard") >= 0.8)
+    want = set()
+    for r in full.collect():
+        a_new, b_new = r.id_a % 5 == 0, r.id_b % 5 == 0
+        if a_new and not b_new:
+            want.add((r.id_a, r.id_b))
+        elif b_new and not a_new:
+            want.add((r.id_b, r.id_a))
+    assert got == want

@@ -264,3 +264,48 @@ def test_quota_per_group_caps_and_orders(spark):
         quota_per_group(df, "src", 0, tiebreak_col="id")
     with _pytest.raises(ValueError, match="tiebreak_col"):
         quota_per_group(df, "src", 5)
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    from logstash_integration_jdbc_spark.operators.textstats import (
+        gopher_rules,
+    )
+
+    base = ("the cat and the dog have fun with that ball of yarn "
+            "they chase it around the big red house every day")  # 22 words
+    docs = [
+        (0, base),                                      # passes all
+        (1, "short of the"),                            # words_ok fails
+        (2, base.replace("cat", "c")),                  # still in wl band
+        (3, "a b c d e f g h i j k l m n o p q r s t the of"),  # mean_wl low
+        (4, base + " ### ... ... ... #"),               # symbol ratio high
+        (5, "\n".join(f"- item {i} of the set" for i in range(10))),  # bullets
+        (6, "\n".join([f"line {i} of the thing..." for i in range(5)]
+                      + ["the end"])),                  # ellipsis frac high
+        (7, "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 "
+            "18 19 the of and"),                        # alpha frac low
+        (8, " ".join(["word"] * 25)),                   # no stopwords
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    rows = {r.doc_id: r for r in gopher_rules(df, min_words=20).collect()}
+    assert rows[0].gopher_keep
+    assert not rows[1].g_words_ok and not rows[1].gopher_keep
+    assert not rows[3].g_mean_wl_ok
+    assert not rows[4].g_symbol_ok
+    assert not rows[5].g_bullet_ok          # 10/10 bullet lines > 0.9
+    assert not rows[6].g_ellipsis_ok        # 5/6 ellipsis lines > 0.3
+    assert not rows[7].g_alpha_ok           # 19/22 numeric tokens
+    assert not rows[8].g_stop_ok
+    # flags are exact counts, not heuristics
+    assert rows[0].g_n_words == 22
+    assert rows[5].g_bullet_ok is False and rows[5].g_words_ok
+
+
+def test_gopher_rules_map_only_plan(spark):
+    from logstash_integration_jdbc_spark.operators.textstats import (
+        gopher_rules,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = gopher_rules(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "Exchange" not in plan
