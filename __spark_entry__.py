@@ -655,6 +655,23 @@ def _q_split_by_hash(spark, sf_dir):
         F.sum("doc_id").cast("bigint").alias("sum_ids"))
 
 
+def _q_normalize_unicode(spark, sf_dir):
+    # Unicode canonicalization, made non-vacuous on the ASCII corpus by
+    # appending a deterministic messy suffix (decomposed e+U+0301, a
+    # BEL control, a double space) that NFC+strip+collapse must clean
+    # identically in both engines.
+    from logstash_integration_jdbc_spark.operators.textstats import (
+        normalize_unicode,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" café\x07  end")).alias("text"))
+    return normalize_unicode(docs).select(
+        "doc_id", F.md5("text_norm").alias("norm_md5"),
+        F.length("text_norm").alias("norm_len"))
+
+
 def _q_dedup_incremental(spark, sf_dir):
     # incremental ingest dedup: docs with doc_id%5==0 play the "new
     # batch", the rest the already-ingested corpus whose band-key index
@@ -1627,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_per_source": _q_quota_per_source,
         "gopher_rules": _q_gopher_rules,
         "dedup_incremental": _q_dedup_incremental,
+        "normalize_unicode": _q_normalize_unicode,
     }
 
 
@@ -2949,6 +2967,20 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(list_slice(toks, start + 1, start + 64), ' ')
                    AS chunk_text
         FROM s
+    """
+    # normalize_unicode replay: same strip/collapse regexes + DuckDB's
+    # nfc_normalize; md5+length of the cleaned text compare byte-exact.
+    q["normalize_unicode"] = r"""
+        SELECT doc_id,
+               md5(nfc_normalize(regexp_replace(regexp_replace(
+                   text || ' cafe' || chr(769) || chr(7) || '  end',
+                   '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                   '[^\S\n]+', ' ', 'g'))) AS norm_md5,
+               length(nfc_normalize(regexp_replace(regexp_replace(
+                   text || ' cafe' || chr(769) || chr(7) || '  end',
+                   '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                   '[^\S\n]+', ' ', 'g'))) AS norm_len
+        FROM documents
     """
     # Incremental dedup oracle: exact trigram-shingle jaccard across
     # the batch (doc_id%5=0) × history (doc_id%5≠0) cut.

@@ -248,3 +248,49 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     for c in flags:
         keep = F.col(c) if keep is None else keep & F.col(c)
     return out.withColumn("gopher_keep", keep)
+
+
+_NFC_UDF = None
+
+
+def _get_nfc_udf(form: str):
+    """Arrow-batched Unicode normalizer. Normalization has no Catalyst
+    expression, so this is one of the few justified Python paths (same
+    class as the binary codecs): a pandas_udf over Arrow batches using
+    pandas' C-implemented ``str.normalize`` — never per-row Python over
+    a JVM boundary. Nulls pass through."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):
+        return s.str.normalize(form)
+
+    return _nfc
+
+
+def normalize_unicode(df: DataFrame, text_col: str = "text",
+                      out_col: str = "text_norm", form: str = "NFC",
+                      strip_controls: bool = True,
+                      collapse_spaces: bool = True) -> DataFrame:
+    """Canonicalize text before hashing/dedup/tokenizing: Unicode
+    normalization (NFC by default — composes e+◌́ → é so visually
+    identical strings hash identically), control-character stripping
+    (C0/DEL minus tab/newline), and space-run collapsing (runs of
+    non-newline whitespace → one space; newlines preserved).
+
+    The control/space steps are JVM ``regexp_replace`` (codegen'd,
+    RE2-safe patterns so an independent engine replays them); only the
+    normalization itself crosses to Python, as an Arrow-batched
+    ``pandas_udf`` — there is no Catalyst Unicode-normalize expression.
+    Map-only either way; at 100 TB the Arrow hop costs one
+    serialize/deserialize of the text column and nothing else.
+    """
+    col = F.col(text_col)
+    if strip_controls:
+        col = F.regexp_replace(
+            col, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    if collapse_spaces:
+        col = F.regexp_replace(col, r"[^\S\n]+", " ")
+    col = _get_nfc_udf(form)(col)
+    return df.withColumn(out_col, col)

@@ -309,3 +309,27 @@ def test_gopher_rules_map_only_plan(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = gopher_rules(docs)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "Exchange" not in plan
+
+
+def test_normalize_unicode_composes_and_cleans(spark):
+    from logstash_integration_jdbc_spark.operators.textstats import (
+        normalize_unicode,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "café mix"),          # decomposed é → composed
+         (1, "tab\there\x07bell"),       # BEL stripped, tab collapsed
+         (2, "a  b   c\nd  e"),          # runs → single; newline kept
+         (3, None),                      # null passes through
+         (4, "ﬁne")],               # ﬁ ligature survives NFC
+        "doc_id bigint, text string")
+    got = {r.doc_id: r.text_norm
+           for r in normalize_unicode(df).collect()}
+    assert got[0] == "café mix" and len(got[0]) == 8
+    assert got[1] == "tab here" + "bell"
+    assert got[2] == "a b c\nd e"
+    assert got[3] is None
+    assert got[4] == "ﬁne"  # NFC is canonical-only; NFKC would fold
+    nfkc = {r.doc_id: r.text_norm
+            for r in normalize_unicode(df, form="NFKC").collect()}
+    assert nfkc[4] == "fine"
