@@ -40,6 +40,7 @@ HEADLINE = [
     "tpch_q1", "tpch_q3", "tpch_q5",
     "dedup_exact_keep", "dedup_minhash", "text_quality", "text_langid",
     "ann_cosine_topk", "embedding_near_dup",
+    "text_bm25_topk", "gopher_rules", "text_perplexity",
 ]
 
 BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "1000000"))
@@ -274,6 +275,25 @@ def run_substring_bench(spark, n_rows: int = MINHASH_ROWS,
             "docs_per_sec": round(n_rows / wall, 1), "pairs": int(pairs)}
 
 
+def run_perplexity_bench(spark, n_rows: int = MINHASH_ROWS,
+                         reps: int = BENCH_REPS) -> dict:
+    """Bigram-LM perplexity at volume over the controlled corpus:
+    model fit (bigram + context counts over ~n_rows×40 bigrams) and
+    per-doc scoring in one lazy plan; wall, docs/s, and the scored-doc
+    count (== corpus rows — every doc has ≥2 tokens)."""
+    from logstash_integration_jdbc_spark.operators.lm import perplexity
+
+    docs = spark.read.parquet(_docs_input(spark, n_rows))
+    walls, scored = [], 0
+    for _ in range(max(reps, 1)):
+        t0 = time.time()
+        scored = perplexity(docs).count()
+        walls.append(time.time() - t0)
+    wall = min(walls)
+    return {"wall_sec": round(wall, 3), "rows": n_rows,
+            "docs_per_sec": round(n_rows / wall, 1), "scored": int(scored)}
+
+
 def run_minhash_bench(spark, n_rows: int = MINHASH_ROWS,
                       reps: int = BENCH_REPS) -> dict:
     """MinHash+LSH near-dup at volume (VERDICT r3 ask #6): wall, docs/s,
@@ -375,6 +395,9 @@ def main_bench() -> None:
     sub1m = run_substring_bench(spark)
     per_query["dedup_substring_1m"] = sub1m["wall_sec"]
 
+    ppl1m = run_perplexity_bench(spark)
+    per_query["text_perplexity_1m"] = ppl1m["wall_sec"]
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # r4 lesson: the driver's tail capture truncated the FRONT of one
     # long line and lost the machine-readable headline. Split output:
@@ -388,6 +411,7 @@ def main_bench() -> None:
         "minhash_1m": mh,
         "minhash_8m": mh8m,
         "substring_1m": sub1m,
+        "perplexity_1m": ppl1m,
     }
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

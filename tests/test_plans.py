@@ -246,3 +246,14 @@ def test_tf_idf_broadcasts_term_stats(spark):
     plan = plan_of(tf_idf(docs))
     assert plan.count("BroadcastExchange") >= 2
     assert "EvalPython" not in plan
+
+
+def test_perplexity_no_python_eval(spark):
+    from logstash_integration_jdbc_spark.operators.lm import perplexity
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(perplexity(docs))
+    # bigram emission/model/scoring are all Catalyst; only the vocab
+    # one-row aggregate broadcasts — the model tables join shuffled
+    assert "EvalPython" not in plan
+    assert "BroadcastExchange" in plan
