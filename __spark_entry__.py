@@ -691,6 +691,28 @@ def _q_dedup_incremental(spark, sf_dir):
         "new_id", "index_id", F.round("jaccard", 6).alias("jac"))
 
 
+def _q_dedup_lines(spark, sf_dir):
+    # RefinedWeb-style line-wise corpus dedup, made non-vacuous on the
+    # single-line corpus by chunking every doc into 8-word lines first —
+    # the corpus's exact/near-duplicate docs then share whole lines,
+    # which the operator must delete from EVERY member (a fully-
+    # duplicated doc collapses to the empty string but keeps its row).
+    # sha256 of the rewritten text compares byte-exact with the replay.
+    from logstash_integration_jdbc_spark.operators.dedup import dedup_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ", -1)
+    n_lines = F.greatest(
+        F.ceil(F.size(words) / F.lit(8.0)).cast("int"), F.lit(1))
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(words, i * 8 + 1, 8), " "),
+    )
+    docs2 = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    return dedup_lines(docs2).select(
+        "doc_id", F.sha2("text", 256).alias("text_sha"), "n_lines_removed")
+
+
 def _q_gopher_rules(spark, sf_dir):
     # Gopher document-quality rules (Rae et al. 2021) — flags + keep;
     # min_words lowered to 20 for the synthetic short-doc corpus so the
@@ -1645,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": _q_gopher_rules,
         "dedup_incremental": _q_dedup_incremental,
         "normalize_unicode": _q_normalize_unicode,
+        "dedup_lines": _q_dedup_lines,
     }
 
 
@@ -3133,4 +3156,45 @@ def oracle_sql() -> dict[str, str]:
                 + ") t(source, n, sum_ids)")
 
     q["quota_per_source"] = _value_oracle("quota_per_source", _build_quota_sql)
+
+    # Line-wise dedup replay: same 8-word chunk view, then duplicated
+    # lines (>= 2 distinct docs, length >= 1) deleted from every doc and
+    # the remainder rejoined in order; sha256 compares byte-exact.
+    q["dedup_lines"] = """
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), d2 AS (
+            SELECT doc_id, array_to_string(
+                list_transform(
+                    range(0, greatest(CAST(ceil(len(ws) / 8.0) AS INT), 1)),
+                    i -> array_to_string(ws[i*8+1 : i*8+8], ' ')),
+                chr(10)) AS text
+            FROM w
+        ), lines AS (
+            SELECT doc_id,
+                   unnest(range(0, len(string_split(text, chr(10))))) AS pos,
+                   unnest(string_split(text, chr(10))) AS line
+            FROM d2
+        ), dups AS (
+            SELECT line FROM lines WHERE length(line) >= 1
+            GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+        ), kept AS (
+            SELECT l.doc_id, l.pos, l.line FROM lines l
+            WHERE length(l.line) < 1
+               OR l.line NOT IN (SELECT line FROM dups)
+        ), rb AS (
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        ), tot AS (
+            SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id
+        )
+        SELECT d2.doc_id,
+               sha256(coalesce(rb.text, '')) AS text_sha,
+               CAST(tot.n_lines - coalesce(rb.n_kept, 0) AS BIGINT)
+                   AS n_lines_removed
+        FROM d2
+        LEFT JOIN rb USING (doc_id)
+        JOIN tot USING (doc_id)
+    """
     return q

@@ -565,3 +565,85 @@ def test_dedup_against_index_matches_full_lsh(spark):
         elif b_new and not a_new:
             want.add((r.id_b, r.id_a))
     assert got == want
+
+
+# -- line-level corpus dedup ---------------------------------------------
+
+def _line_docs(spark):
+    rows = [
+        (1, "COOKIE BANNER\nalpha unique one\nNAV FOOTER"),
+        (2, "COOKIE BANNER\nbeta unique two\nNAV FOOTER"),
+        (3, "COOKIE BANNER\ngamma unique three"),
+        (4, "delta all original\nepsilon also original"),
+        (5, "COOKIE BANNER\nNAV FOOTER"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_lines_removes_boilerplate_everywhere(spark):
+    from logstash_integration_jdbc_spark.operators.dedup import dedup_lines
+
+    out = {r["doc_id"]: r for r in dedup_lines(_line_docs(spark)).collect()}
+    assert out[1]["text"] == "alpha unique one"
+    assert out[2]["text"] == "beta unique two"
+    assert out[3]["text"] == "gamma unique three"
+    assert out[4]["text"] == "delta all original\nepsilon also original"
+    # fully-boilerplate doc survives as an empty string, not a dropped row
+    assert out[5]["text"] == ""
+    assert [out[i]["n_lines_removed"] for i in (1, 2, 3, 4, 5)] == [2, 2, 1, 0, 2]
+
+
+def test_dedup_lines_min_dup_docs_threshold(spark):
+    from logstash_integration_jdbc_spark.operators.dedup import dedup_lines
+
+    # NAV FOOTER appears in 3 docs, COOKIE BANNER in 4: at min_dup_docs=4
+    # only the banner goes
+    out = {r["doc_id"]: r["text"]
+           for r in dedup_lines(_line_docs(spark), min_dup_docs=4).collect()}
+    assert out[1] == "alpha unique one\nNAV FOOTER"
+    assert out[5] == "NAV FOOTER"
+
+
+def test_dedup_lines_short_line_exemption(spark):
+    from logstash_integration_jdbc_spark.operators.dedup import dedup_lines
+
+    rows = [(1, "ok\nlong shared boilerplate line"),
+            (2, "ok\nlong shared boilerplate line"),
+            (3, "ok\nunique text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in dedup_lines(df, min_line_chars=5).collect()}
+    # "ok" is shared by all three but under min_line_chars → kept
+    assert out[1] == "ok"
+    assert out[3] == "ok\nunique text"
+
+
+def test_dedup_lines_preserves_order_and_empty_lines(spark):
+    from logstash_integration_jdbc_spark.operators.dedup import dedup_lines
+
+    rows = [(1, "a unique\n\nSHARED LINE\nz tail"),
+            (2, "SHARED LINE\nother body")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in dedup_lines(df).collect()}
+    # empty line (below min_line_chars=1) is preserved in place
+    assert out[1] == "a unique\n\nz tail"
+    assert out[2] == "other body"
+
+
+def test_duplicated_lines_counts_distinct_docs(spark):
+    from logstash_integration_jdbc_spark.operators.dedup import duplicated_lines
+
+    # the repeated line within ONE doc must not count as cross-doc dup
+    rows = [(1, "same line\nsame line"), (2, "other")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert duplicated_lines(df).count() == 0
+
+
+def test_dedup_lines_custom_delimiter(spark):
+    from logstash_integration_jdbc_spark.operators.dedup import dedup_lines
+
+    rows = [(1, "shared seg | mine"), (2, "shared seg | yours")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in dedup_lines(df, delimiter=" | ").collect()}
+    assert out[1] == "mine" and out[2] == "yours"
