@@ -691,6 +691,30 @@ def _q_dedup_incremental(spark, sf_dir):
         "new_id", "index_id", F.round("jaccard", 6).alias("jac"))
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    # SemDeDup (arXiv:2303.09540) over the corpus ∪ its perturbed
+    # companion (the embedding_near_dup construction: cosine(v, v') ≈
+    # 0.94-0.97 vs a 0.51 background max — threshold 0.9 sits in a wide
+    # gap, so fp association order can't flip a pair). 8 clusters,
+    # smallest-id seed centroids, no Lloyd (the Lloyd twin is already
+    # exercised by ann_ivf_lloyd_topk); survivors + their cluster.
+    from logstash_integration_jdbc_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    pert = emb.select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * F.when(i % 2 == 0, F.lit(1.35)).otherwise(F.lit(0.65)),
+        ).alias("embedding"),
+    )
+    both = emb.select("vec_id", "embedding").unionByName(pert)
+    return semantic_dedup(both, n_clusters=8, threshold=0.9).select(
+        "vec_id", "centroid_id")
+
+
 def _q_dedup_lines(spark, sf_dir):
     # RefinedWeb-style line-wise corpus dedup, made non-vacuous on the
     # single-line corpus by chunking every doc into 8-word lines first —
@@ -1668,6 +1692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _q_dedup_incremental,
         "normalize_unicode": _q_normalize_unicode,
         "dedup_lines": _q_dedup_lines,
+        "dedup_semantic": _q_semantic_dedup,
     }
 
 
@@ -3156,6 +3181,47 @@ def oracle_sql() -> dict[str, str]:
                 + ") t(source, n, sum_ids)")
 
     q["quota_per_source"] = _value_oracle("quota_per_source", _build_quota_sql)
+
+    # SemDeDup replay: corpus ∪ perturbed companion, assignment by
+    # cosine argmax over the 8 smallest-id seed centroids (ties →
+    # smallest centroid_id, same as the Spark struct-argmax), then the
+    # smaller-id-neighbor drop rule confined to clusters.
+    _dot = ("list_sum(list_transform(range(1, len({a}) + 1), "
+            "i -> {a}[i] * {b}[i]))")
+    _cos = (_dot + " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+            " * sqrt(list_sum(list_transform({b}, x -> x * x))))")
+    q["dedup_semantic"] = f"""
+        WITH e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), u AS (
+            SELECT vec_id, v FROM e
+            UNION ALL
+            SELECT vec_id + 100000 AS vec_id,
+                   list_transform(range(1, len(v) + 1),
+                       i -> v[i] * (CASE WHEN (i - 1) % 2 = 0
+                                         THEN 1.35 ELSE 0.65 END)) AS v
+            FROM e
+        ), cents AS (
+            SELECT vec_id AS centroid_id, v AS cv FROM u
+            ORDER BY vec_id LIMIT 8
+        ), assigned AS (
+            SELECT vec_id, v, centroid_id FROM (
+                SELECT u.vec_id, u.v, c.centroid_id,
+                       row_number() OVER (PARTITION BY u.vec_id ORDER BY
+                           {_cos.format(a='u.v', b='c.cv')} DESC,
+                           c.centroid_id ASC) AS rn
+                FROM u CROSS JOIN cents c
+            ) WHERE rn = 1
+        ), dropped AS (
+            SELECT DISTINCT a.vec_id
+            FROM assigned a JOIN assigned b
+              ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
+            WHERE {_cos.format(a='a.v', b='b.v')} >= 0.9
+        )
+        SELECT a.vec_id, a.centroid_id FROM assigned a
+        WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
+    """
 
     # Line-wise dedup replay: same 8-word chunk view, then duplicated
     # lines (>= 2 distinct docs, length >= 1) deleted from every doc and

@@ -1093,3 +1093,68 @@ def dedup_lines(df: DataFrame, text_col: str = "text",
         .drop("__rm")
     )
     return out.withColumn(text_col, F.col("__new_text")).drop("__new_text")
+
+
+# -- semantic dedup (SemDeDup) -------------------------------------------
+
+def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", n_clusters: int = 16,
+                   threshold: float = 0.95, kmeans_iters: int = 0,
+                   max_cluster_rows: int = 2_000_000) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then search
+    near-duplicates ONLY within clusters and keep one representative
+    per duplicate relation.
+
+    Drop rule (deterministic, SQL-replayable): a row is dropped iff
+    some SMALLER-id row in the SAME cluster has cosine >= ``threshold``
+    with it. (The paper keeps the point with lowest centroid
+    similarity; a fixed-id rule makes the output run-, partitioning-
+    and cluster-size-independent.)
+
+    Scale design: centroids are driver-side literals (smallest-id seed
+    vectors + optional Lloyd refinement — ``similarity.ivf_index``), so
+    assignment is a map-side argmax with NO shuffle; the quadratic work
+    is confined to clusters — ONE groupBy(centroid) exchange, then an
+    O(|C|^2) float64 GEMM per cluster inside applyInPandas.
+    ``n_clusters`` is the memory/skew knob: size it so n/k rows of dim
+    doubles fit one task (the paper's own strategy — they use k≈11k for
+    LAION); a cluster larger than ``max_cluster_rows`` raises rather
+    than silently OOMing an executor.
+
+    Returns the surviving rows of ``df`` plus their ``centroid_id``.
+    """
+    import numpy as np
+
+    from .similarity import _assign_expr, _collect_centroids, _lloyd_refine
+
+    vecs = df.select(id_col, vec_col)
+    cents = _collect_centroids(vecs, n_clusters, id_col, vec_col)
+    if kmeans_iters:
+        cents = _lloyd_refine(vecs, cents, id_col, vec_col, kmeans_iters)
+    assigned = vecs.withColumn("centroid_id", _assign_expr(vec_col, cents))
+
+    def _dropped(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_cluster_rows:
+            raise ValueError(
+                f"semantic_dedup cluster of {len(pdf)} rows exceeds "
+                f"max_cluster_rows={max_cluster_rows}; raise n_clusters "
+                f"(or the guard) so per-cluster GEMM fits a task")
+        pdf = pdf.sort_values(id_col)
+        V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(V, axis=1)
+        nrm[nrm == 0.0] = 1.0
+        S = (V / nrm[:, None]) @ (V / nrm[:, None]).T
+        drop = np.tril(S >= threshold, -1).any(axis=1)
+        return pdf.loc[drop, [id_col]]
+
+    dropped = (
+        assigned.groupBy("centroid_id")
+        .applyInPandas(_dropped, schema=f"{id_col} long")
+    )
+    survivors = df.join(dropped, [id_col], "left_anti")
+    # assignment is a map-side literal argmax — recompute it on the
+    # survivors instead of joining `assigned` back (saves a full-table
+    # shuffle; the anti-join's dropped side is the only other exchange
+    # and AQE broadcasts it when small)
+    return survivors.withColumn("centroid_id", _assign_expr(vec_col, cents))

@@ -290,6 +290,21 @@ def _lloyd_refine(corpus: DataFrame, cents: list[tuple[int, list[float]]],
     return cents
 
 
+def _assign_expr(vec_col: str, cents: list[tuple[int, list[float]]]) -> Column:
+    """Map-side nearest-centroid assignment: argmax cosine over the
+    literal centroid array via array_max on (sim, -centroid_id) structs
+    — ties break to the smallest centroid_id, no shuffle, no crossJoin."""
+    best = F.array_max(F.transform(
+        _centroid_sims(F.col(vec_col), cents),
+        lambda s: F.struct(
+            s["sim"].alias("sim"),
+            (-s["centroid_id"]).alias("__negid"),
+            s["centroid_id"].alias("centroid_id"),
+        ),
+    ))
+    return best["centroid_id"]
+
+
 def ivf_index(corpus: DataFrame, n_centroids: int = 16,
               corpus_id: str = "vec_id", vec_col: str = "embedding",
               _cents: list[tuple[int, list[float]]] | None = None,
@@ -315,16 +330,9 @@ def ivf_index(corpus: DataFrame, n_centroids: int = 16,
         [(cid, cvec) for cid, cvec in cents],
         f"centroid_id long, __cvec {dict(corpus.dtypes)[vec_col]}",
     )
-    best = F.array_max(F.transform(
-        _centroid_sims(F.col(vec_col), cents),
-        lambda s: F.struct(
-            s["sim"].alias("sim"),
-            (-s["centroid_id"]).alias("__negid"),
-            s["centroid_id"].alias("centroid_id"),
-        ),
-    ))
     assigned = corpus.select(
-        F.col(corpus_id), F.col(vec_col), best["centroid_id"].alias("centroid_id")
+        F.col(corpus_id), F.col(vec_col),
+        _assign_expr(vec_col, cents).alias("centroid_id"),
     )
     return assigned, centroids
 

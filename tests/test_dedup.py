@@ -647,3 +647,76 @@ def test_dedup_lines_custom_delimiter(spark):
     out = {r["doc_id"]: r["text"]
            for r in dedup_lines(df, delimiter=" | ").collect()}
     assert out[1] == "mine" and out[2] == "yours"
+
+
+# -- semantic dedup (SemDeDup) -------------------------------------------
+
+def _sem_vectors():
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(20, 16)
+    rows = [(i, base[i].tolist()) for i in range(20)]
+    # near-copies of vectors 3 and 7 (tiny additive noise → cosine ≈ 1)
+    for j, src in ((100, 3), (101, 7), (102, 3)):
+        rows.append((j, (base[src] + 0.01 * rng.randn(16)).tolist()))
+    return rows
+
+
+def test_semantic_dedup_drops_higher_id_twins(spark):
+    from logstash_integration_jdbc_spark.operators.dedup import semantic_dedup
+
+    df = spark.createDataFrame(_sem_vectors(),
+                               "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, n_clusters=4, threshold=0.95)
+    kept = {r["vec_id"] for r in out.collect()}
+    # all originals survive (mutual cosines are low); every near-copy
+    # has a smaller-id twin in its cluster → dropped
+    assert set(range(20)) <= kept
+    assert kept.isdisjoint({100, 101, 102})
+    assert "centroid_id" in out.columns
+
+
+def test_semantic_dedup_matches_numpy_rule(spark):
+    import numpy as np
+
+    from logstash_integration_jdbc_spark.operators.dedup import semantic_dedup
+
+    rows = _sem_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, n_clusters=4, threshold=0.95, kmeans_iters=1)
+    got = {(r["vec_id"], r["centroid_id"]) for r in out.collect()}
+
+    # independent twin: assignment by cosine argmax over the same
+    # deterministic centroids (4 smallest ids + 1 Lloyd step), then the
+    # smaller-id-neighbor drop rule per cluster
+    ids = [r[0] for r in rows]
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    C = V[:4].copy()
+    for _ in range(1):
+        sims = Vn @ (C / np.linalg.norm(C, axis=1, keepdims=True)).T
+        best = np.argmax(sims, axis=1)
+        C = np.array([V[best == c].mean(axis=0) if (best == c).any()
+                      else C[c] for c in range(4)])
+    sims = Vn @ (C / np.linalg.norm(C, axis=1, keepdims=True)).T
+    best = np.argmax(sims, axis=1)
+    S = Vn @ Vn.T
+    want = set()
+    for i, vid in enumerate(ids):
+        drop = any(S[i, j] >= 0.95 and ids[j] < vid
+                   for j in range(len(ids)) if best[j] == best[i])
+        if not drop:
+            want.add((vid, ids[best[i]]))
+    assert got == want
+
+
+def test_semantic_dedup_cluster_guard(spark):
+    import pytest as _pytest
+
+    from logstash_integration_jdbc_spark.operators.dedup import semantic_dedup
+
+    df = spark.createDataFrame(_sem_vectors(),
+                               "vec_id long, embedding array<double>")
+    with _pytest.raises(Exception, match="max_cluster_rows"):
+        semantic_dedup(df, n_clusters=1, max_cluster_rows=5).collect()
