@@ -691,6 +691,23 @@ def _q_dedup_incremental(spark, sf_dir):
         "new_id", "index_id", F.round("jaccard", 6).alias("jac"))
 
 
+def _q_nb_classifier(spark, sf_dir):
+    # Trainable NB quality classifier (the CCNet/GPT-3 linear-filter
+    # role): self-train on lang=='en' labels, score the corpus. Exact
+    # integer counts → LLR expression; round(4) absorbs fp sum-order
+    # differences; nb_pred derives from the ROUNDED score so both
+    # engines threshold the same value.
+    from logstash_integration_jdbc_spark.operators.classify import (
+        train_and_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "label", F.col("lang") == "en")
+    out = train_and_score(docs, "label")
+    nb4 = F.round("nb_score", 4)
+    return out.select("doc_id", nb4.alias("nb4"), (nb4 > 0).alias("nb_pred"))
+
+
 def _q_semantic_dedup(spark, sf_dir):
     # SemDeDup (arXiv:2303.09540) over the corpus ∪ its perturbed
     # companion (the embedding_near_dup construction: cosine(v, v') ≈
@@ -1693,6 +1710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_unicode": _q_normalize_unicode,
         "dedup_lines": _q_dedup_lines,
         "dedup_semantic": _q_semantic_dedup,
+        "nb_classifier": _q_nb_classifier,
     }
 
 
@@ -3181,6 +3199,41 @@ def oracle_sql() -> dict[str, str]:
                 + ") t(source, n, sum_ids)")
 
     q["quota_per_source"] = _value_oracle("quota_per_source", _build_quota_sql)
+
+    # NB classifier replay: same tokenizer twin, exact counts, the same
+    # Laplace-1 LLR formula in ln(), prior log-odds, per-doc sums.
+    q["nb_classifier"] = rf"""
+        WITH lab AS (
+            SELECT doc_id, text, (lang = 'en') AS y FROM documents
+        ), tok AS (
+            SELECT doc_id, y, unnest({_toks}) AS token FROM lab
+        ), counts AS (
+            SELECT token,
+                   CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) AS c1,
+                   CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS DOUBLE) AS c0
+            FROM tok GROUP BY token
+        ), tot AS (
+            SELECT sum(c1) AS n1, sum(c0) AS n0,
+                   CAST(count(*) AS DOUBLE) AS v
+            FROM counts
+        ), llr AS (
+            SELECT token, ln((c1 + 1.0) / (n1 + v)) - ln((c0 + 1.0) / (n0 + v))
+                       AS llr
+            FROM counts, tot
+        ), prior AS (
+            SELECT ln((sum(CASE WHEN y THEN 1 ELSE 0 END) + 1.0)
+                      / (sum(CASE WHEN y THEN 0 ELSE 1 END) + 1.0)) AS p
+            FROM lab
+        ), per_doc AS (
+            SELECT t.doc_id, sum(coalesce(l.llr, 0.0)) AS s
+            FROM tok t LEFT JOIN llr l USING (token)
+            GROUP BY t.doc_id
+        )
+        SELECT lab.doc_id,
+               round(prior.p + coalesce(pd.s, 0.0), 4) AS nb4,
+               round(prior.p + coalesce(pd.s, 0.0), 4) > 0 AS nb_pred
+        FROM lab LEFT JOIN per_doc pd USING (doc_id), prior
+    """
 
     # SemDeDup replay: corpus ∪ perturbed companion, assignment by
     # cosine argmax over the 8 smallest-id seed centroids (ties →
