@@ -691,6 +691,21 @@ def _q_dedup_incremental(spark, sf_dir):
         "new_id", "index_id", F.round("jaccard", 6).alias("jac"))
 
 
+def _q_profile_table(spark, sf_dir):
+    # One-pass column profile of `documents`; exact distincts so the
+    # SQL replay matches bit-for-bit (the approx/HLL path is the 100 TB
+    # default and is plan-tested instead); round(6) on the moments.
+    from logstash_integration_jdbc_spark.operators.profile import profile
+
+    docs = _t(spark, sf_dir, "documents")
+    out = profile(docs, exact_distinct=True)
+    return out.select(
+        "column", "dtype", "n_rows", "n_nulls", "n_distinct",
+        "min_val", "max_val",
+        F.round("mean", 6).alias("mean6"),
+        F.round("stddev", 6).alias("sd6"))
+
+
 def _q_nb_classifier(spark, sf_dir):
     # Trainable NB quality classifier (the CCNet/GPT-3 linear-filter
     # role): self-train on lang=='en' labels, score the corpus. Exact
@@ -1711,6 +1726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": _q_dedup_lines,
         "dedup_semantic": _q_semantic_dedup,
         "nb_classifier": _q_nb_classifier,
+        "profile_table": _q_profile_table,
     }
 
 
@@ -3199,6 +3215,32 @@ def oracle_sql() -> dict[str, str]:
                 + ") t(source, n, sum_ids)")
 
     q["quota_per_source"] = _value_oracle("quota_per_source", _build_quota_sql)
+
+    # profile replay: per-column stats as a UNION ALL (one branch per
+    # documents column, Spark dtype names inlined as literals).
+    def _prof_branch(col: str, dtype: str, numeric: bool) -> str:
+        mean = (f"round(avg({col}), 6)" if numeric
+                else "CAST(NULL AS DOUBLE)")
+        sd = (f"round(stddev_samp({col}), 6)" if numeric
+              else "CAST(NULL AS DOUBLE)")
+        return f"""
+            SELECT '{col}' AS "column", '{dtype}' AS dtype,
+                   count(*) AS n_rows,
+                   CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nulls,
+                   count(DISTINCT {col}) AS n_distinct,
+                   CAST(min({col}) AS VARCHAR) AS min_val,
+                   CAST(max({col}) AS VARCHAR) AS max_val,
+                   {mean} AS mean6, {sd} AS sd6
+            FROM documents"""
+
+    q["profile_table"] = " UNION ALL ".join([
+        _prof_branch("doc_id", "bigint", True),
+        _prof_branch("text", "string", False),
+        _prof_branch("lang", "string", False),
+        _prof_branch("source", "string", False),
+        _prof_branch("n_chars", "bigint", True),
+    ])
 
     # NB classifier replay: same tokenizer twin, exact counts, the same
     # Laplace-1 LLR formula in ln(), prior log-odds, per-doc sums.
