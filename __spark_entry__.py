@@ -1293,6 +1293,23 @@ def _q_audio_rms(spark, sf_dir):
         F.round("rms", 6).alias("rms6"))
 
 
+def _q_audio_spectrum(spark, sf_dir):
+    # spectral features over decoded PCM (Hann frames → rfft power →
+    # 8 log-band energies + centroid); the oracle recomputes from the
+    # payload builders with its own numpy lines (decode not shared).
+    from logstash_integration_jdbc_spark.operators.multimodal import (
+        extract_audio_spectrum,
+        gen_media,
+    )
+
+    _pin(spark)
+    sp = extract_audio_spectrum(gen_media(spark, n_rows=300))
+    return sp.select(
+        "media_id", "n_frames", "band",
+        F.round("energy", 6).alias("energy6"),
+        F.round("centroid_hz", 6).alias("centroid6"))
+
+
 def _q_media_stats(spark, sf_dir):
     # generated binary media table (no testdata media exists); the oracle
     # is the expected aggregate computed independently in pure Python
@@ -1727,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": _q_semantic_dedup,
         "nb_classifier": _q_nb_classifier,
         "profile_table": _q_profile_table,
+        "multimodal_audio_spectrum": _q_audio_spectrum,
     }
 
 
@@ -2735,6 +2753,40 @@ def oracle_sql() -> dict[str, str]:
     q["multimodal_audio_rms"] = (
         f"SELECT * FROM (VALUES {avals}) "
         "t(media_id, sample_rate, n_samples, rms6)"
+    )
+    # audio spectrum: expected (n_frames, band, energy, centroid) from
+    # the same payload builders, framing/FFT re-derived here line-by-
+    # line (the operator's decode + batching not shared).
+    sprows = []
+    for i in range(300):
+        s = _row_spec(i, 42)
+        if s["kind"] != "audio":
+            continue
+        rate = s["sample_rate"]
+        n_samples = rate // 10
+        raw = _pba(i, 42, n_samples * 2, salt=99)
+        samples = _npa.frombuffer(raw, dtype="<i2").astype(_npa.float64)
+        if len(samples) < 512:
+            samples = _npa.pad(samples, (0, 512 - len(samples)))
+        nf = 1 + (len(samples) - 512) // 256
+        idx = _npa.arange(512)[None, :] + 256 * _npa.arange(nf)[:, None]
+        power = (_npa.abs(_npa.fft.rfft(
+            samples[idx] * _npa.hanning(512)[None, :], axis=1)) ** 2
+        ).mean(axis=0)
+        freqs = _npa.fft.rfftfreq(512, 1.0 / rate)
+        tot = power.sum()
+        cent = float((freqs * power).sum() / tot) if tot else 0.0
+        for b in range(8):
+            lo, hi = b * len(power) // 8, (b + 1) * len(power) // 8
+            e = float(_npa.log10(power[lo:hi].sum() + 1e-12))
+            sprows.append((i, nf, b, round(e, 6), round(cent, 6)))
+    spvals = ", ".join(
+        f"(CAST({m} AS BIGINT), {nf}, {b}, CAST({e!r} AS DOUBLE), "
+        f"CAST({c!r} AS DOUBLE))"
+        for m, nf, b, e, c in sprows)
+    q["multimodal_audio_spectrum"] = (
+        f"SELECT * FROM (VALUES {spvals}) "
+        "t(media_id, n_frames, band, energy6, centroid6)"
     )
     # frame sample: expected (media_id, frame_idx, frame_len) recomputed
     # in pure Python (header + w·h·3 bytes per PPM frame).

@@ -639,6 +639,43 @@ def extract_image_features(df: DataFrame, dim: int = 32, fake: bool = False) -> 
     return imgs.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
 
+def parse_wav(b: bytes):
+    """RIFF/WAVE PCM16 chunk walk → (sample_rate, float64 samples).
+
+    Spec-valid WAVs may carry LIST/INFO or an extended fmt block before
+    the data chunk, so fixed offsets 24/40/44 mis-parse them — walk the
+    chunk list instead.
+    """
+    import numpy as np
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "audio decode beyond RIFF/WAVE PCM needs soundfile/ffmpeg"
+        )
+    rate = data_off = data_len = None
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        clen = struct.unpack_from("<I", b, pos + 4)[0]
+        if cid == b"fmt ":
+            audio_fmt, _nch = struct.unpack_from("<HH", b, pos + 8)
+            if audio_fmt != 1:
+                raise NotImplementedError(
+                    f"WAV audio format {audio_fmt} (non-PCM) needs soundfile"
+                )
+            rate = struct.unpack_from("<I", b, pos + 12)[0]
+        elif cid == b"data":
+            data_off, data_len = pos + 8, clen
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if rate is None or data_off is None:
+        raise NotImplementedError(
+            "WAV missing fmt/data chunk; needs soundfile/ffmpeg"
+        )
+    samples = np.frombuffer(b, dtype="<i2", count=data_len // 2,
+                            offset=data_off).astype(np.float64)
+    return rate, samples
+
+
 def extract_audio_features(df: DataFrame) -> DataFrame:
     """Real WAV decode: RIFF/fmt header parse + PCM16 RMS (numpy)."""
     import numpy as np
@@ -648,35 +685,7 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
             rows = {"media_id": [], "sample_rate": [], "n_samples": [],
                     "duration_s": [], "rms": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                b = bytes(payload)
-                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
-                    raise NotImplementedError(
-                        "audio decode beyond RIFF/WAVE PCM needs soundfile/ffmpeg"
-                    )
-                # Walk RIFF chunks for 'fmt ' and 'data' — spec-valid WAVs
-                # may carry LIST/INFO or an extended fmt block before the
-                # data chunk, so fixed offsets 24/40/44 mis-parse them.
-                rate = data_off = data_len = None
-                pos = 12
-                while pos + 8 <= len(b):
-                    cid = b[pos : pos + 4]
-                    clen = struct.unpack_from("<I", b, pos + 4)[0]
-                    if cid == b"fmt ":
-                        audio_fmt, _nch = struct.unpack_from("<HH", b, pos + 8)
-                        if audio_fmt != 1:
-                            raise NotImplementedError(
-                                f"WAV audio format {audio_fmt} (non-PCM) needs soundfile"
-                            )
-                        rate = struct.unpack_from("<I", b, pos + 12)[0]
-                    elif cid == b"data":
-                        data_off, data_len = pos + 8, clen
-                    pos += 8 + clen + (clen & 1)  # chunks are word-aligned
-                if rate is None or data_off is None:
-                    raise NotImplementedError(
-                        "WAV missing fmt/data chunk; needs soundfile/ffmpeg"
-                    )
-                samples = np.frombuffer(b, dtype="<i2", count=data_len // 2,
-                                        offset=data_off).astype(np.float64)
+                rate, samples = parse_wav(bytes(payload))
                 n = len(samples)
                 rows["media_id"].append(mid)
                 rows["sample_rate"].append(rate)
@@ -686,6 +695,60 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.filter(F.col("kind") == "audio").mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
+AUDIO_SPECTRUM_SCHEMA = (
+    "media_id bigint, n_frames int, band int, energy double, "
+    "centroid_hz double"
+)
+
+
+def extract_audio_spectrum(df: DataFrame, frame_len: int = 512,
+                           hop: int = 256, n_bands: int = 8) -> DataFrame:
+    """Spectral features over decoded PCM: Hann-windowed frames → rfft
+    power spectrum → time-averaged → ``n_bands`` equal-width log10 band
+    energies + the spectral centroid (Hz). One output row per
+    (media_id, band).
+
+    The framing/FFT is numpy inside the same Arrow ``mapInPandas``
+    contract as the other decoders (payload-bounded memory per batch);
+    a production stack swaps the interior for librosa/torchaudio
+    mel filterbanks without touching the Spark plumbing.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "n_frames": [], "band": [],
+                    "energy": [], "centroid_hz": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, samples = parse_wav(bytes(payload))
+                n = len(samples)
+                if n < frame_len:  # zero-pad a single short frame
+                    samples = np.pad(samples, (0, frame_len - n))
+                    n = frame_len
+                nf = 1 + (n - frame_len) // hop
+                idx = (np.arange(frame_len)[None, :]
+                       + hop * np.arange(nf)[:, None])
+                frames = samples[idx] * np.hanning(frame_len)[None, :]
+                power = (np.abs(np.fft.rfft(frames, axis=1)) ** 2).mean(axis=0)
+                freqs = np.fft.rfftfreq(frame_len, 1.0 / rate)
+                total = power.sum()
+                centroid = float((freqs * power).sum() / total) if total else 0.0
+                nb = len(power)
+                for b in range(n_bands):
+                    lo = b * nb // n_bands
+                    hi = (b + 1) * nb // n_bands
+                    e = float(np.log10(power[lo:hi].sum() + 1e-12))
+                    rows["media_id"].append(mid)
+                    rows["n_frames"].append(nf)
+                    rows["band"].append(b)
+                    rows["energy"].append(e)
+                    rows["centroid_hz"].append(centroid)
+            yield pd.DataFrame(rows)
+
+    return df.filter(F.col("kind") == "audio").mapInPandas(
+        run, schema=AUDIO_SPECTRUM_SCHEMA)
 
 
 def sample_frames(df: DataFrame, every_n: int = 2, max_frames: int = 4,

@@ -741,3 +741,80 @@ def test_gen_media_rejects_unknown_formats(spark):
         gen_media(spark, n_rows=1, image_format="bmp")
     with _pytest.raises(ValueError, match="video_format"):
         gen_media(spark, n_rows=1, video_format="mp4")
+
+
+def test_audio_spectrum_sine_peak(spark):
+    import struct as _st
+
+    import numpy as np
+
+    from logstash_integration_jdbc_spark.operators.multimodal import (
+        extract_audio_spectrum,
+    )
+
+    rate, n = 8000, 8000
+    t = np.arange(n) / rate
+    pcm = (10000 * np.sin(2 * np.pi * 1000.0 * t)).astype("<i2")
+    raw = pcm.tobytes()
+    wav = _st.pack("<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(raw), b"WAVE",
+                   b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16,
+                   b"data", len(raw)) + raw
+    df = spark.createDataFrame([(1, "audio", bytearray(wav))],
+                               "media_id long, kind string, payload binary")
+    rows = extract_audio_spectrum(df).collect()
+    assert len(rows) == 8
+    assert all(r["n_frames"] == 1 + (n - 512) // 256 for r in rows)
+    # 1 kHz tone, 0-4 kHz spectrum in 8 bands of 500 Hz → band 2 peaks
+    best = max(rows, key=lambda r: r["energy"])
+    assert best["band"] == 2
+    assert abs(rows[0]["centroid_hz"] - 1000.0) < 30.0
+
+
+def test_audio_spectrum_short_payload_zero_pads(spark):
+    import struct as _st
+
+    from logstash_integration_jdbc_spark.operators.multimodal import (
+        extract_audio_spectrum,
+    )
+
+    raw = b"\x00\x01" * 100  # 100 samples < frame_len
+    wav = _st.pack("<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(raw), b"WAVE",
+                   b"fmt ", 16, 1, 1, 8000, 16000, 2, 16,
+                   b"data", len(raw)) + raw
+    df = spark.createDataFrame([(1, "audio", bytearray(wav))],
+                               "media_id long, kind string, payload binary")
+    rows = extract_audio_spectrum(df).collect()
+    assert len(rows) == 8 and all(r["n_frames"] == 1 for r in rows)
+
+
+def test_audio_spectrum_matches_numpy_twin(spark):
+    import numpy as np
+
+    from logstash_integration_jdbc_spark.operators.multimodal import (
+        build_wav,
+        extract_audio_spectrum,
+        gen_media,
+        parse_wav,
+    )
+
+    media = gen_media(spark, n_rows=30)
+    got = {}
+    for r in extract_audio_spectrum(media).collect():
+        got.setdefault(r["media_id"], {})[r["band"]] = (
+            r["energy"], r["centroid_hz"], r["n_frames"])
+    assert got, "no audio rows generated"
+    for mid, bands in got.items():
+        payload = media.where(f"media_id = {mid}").collect()[0]["payload"]
+        rate, samples = parse_wav(bytes(payload))
+        n = len(samples)
+        nf = 1 + (n - 512) // 256
+        idx = np.arange(512)[None, :] + 256 * np.arange(nf)[:, None]
+        power = (np.abs(np.fft.rfft(samples[idx] * np.hanning(512), axis=1))
+                 ** 2).mean(axis=0)
+        freqs = np.fft.rfftfreq(512, 1.0 / rate)
+        centroid = float((freqs * power).sum() / power.sum())
+        for b in range(8):
+            lo, hi = b * 257 // 8, (b + 1) * 257 // 8
+            want = float(np.log10(power[lo:hi].sum() + 1e-12))
+            assert abs(bands[b][0] - want) < 1e-9
+            assert abs(bands[b][1] - centroid) < 1e-9
