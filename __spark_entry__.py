@@ -691,6 +691,27 @@ def _q_dedup_incremental(spark, sf_dir):
         "new_id", "index_id", F.round("jaccard", 6).alias("jac"))
 
 
+def _q_text_embed(spark, sf_dir):
+    # hashed random-projection embedding (map-only text → array<double>);
+    # probed as exact integers: sum of squares, component sum, and three
+    # fixed components — the oracle recomputes them with the independent
+    # pure-python XXH64 twin (parity pinned in tests/test_xxhash.py).
+    from logstash_integration_jdbc_spark.operators.embed import embed_text
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = embed_text(docs)
+    e = F.col("embedding")
+    return emb.select(
+        "doc_id",
+        F.aggregate(e, F.lit(0.0), lambda a, x: a + x * x)
+         .cast("long").alias("ss"),
+        F.aggregate(e, F.lit(0.0), lambda a, x: a + x)
+         .cast("long").alias("s1"),
+        F.element_at(e, 1).cast("long").alias("c0"),
+        F.element_at(e, 32).cast("long").alias("c31"),
+        F.element_at(e, 64).cast("long").alias("c63"))
+
+
 def _q_profile_table(spark, sf_dir):
     # One-pass column profile of `documents`; exact distincts so the
     # SQL replay matches bit-for-bit (the approx/HLL path is the 100 TB
@@ -1745,6 +1766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classifier": _q_nb_classifier,
         "profile_table": _q_profile_table,
         "multimodal_audio_spectrum": _q_audio_spectrum,
+        "text_embed": _q_text_embed,
     }
 
 
@@ -3267,6 +3289,35 @@ def oracle_sql() -> dict[str, str]:
                 + ") t(source, n, sum_ids)")
 
     q["quota_per_source"] = _value_oracle("quota_per_source", _build_quota_sql)
+
+    # text_embed: expected integer probes recomputed with the pure-
+    # python XXH64 twin over the same trim/lower/\s+ tokens.
+    def _build_text_embed_sql() -> str:
+        import duckdb as _dk
+
+        from logstash_integration_jdbc_spark.functions.xxhash import xxh64
+
+        rows = _dk.sql(
+            f"SELECT doc_id, text FROM "
+            f"read_parquet('{_ORACLE_SF_DIR}/documents.parquet')"
+        ).fetchall()
+        vals = []
+        for did, text in rows:
+            toks = text.strip().lower().split() if text and text.strip() else []
+            v = [0] * 64
+            for t in toks:
+                h = xxh64(t.encode("utf-8"))
+                for j in range(64):
+                    v[j] += 1 if (h >> j) & 1 else -1
+            ss = sum(x * x for x in v)
+            vals.append(
+                f"(CAST({did} AS BIGINT), CAST({ss} AS BIGINT), "
+                f"CAST({sum(v)} AS BIGINT), CAST({v[0]} AS BIGINT), "
+                f"CAST({v[31]} AS BIGINT), CAST({v[63]} AS BIGINT))")
+        return ("SELECT * FROM (VALUES " + ", ".join(vals)
+                + ") t(doc_id, ss, s1, c0, c31, c63)")
+
+    q["text_embed"] = _value_oracle("text_embed", _build_text_embed_sql)
 
     # profile replay: per-column stats as a UNION ALL (one branch per
     # documents column, Spark dtype names inlined as literals).
