@@ -712,6 +712,90 @@ def _q_text_embed(spark, sf_dir):
         F.element_at(e, 64).cast("long").alias("c63"))
 
 
+def _q_dissect_parse(spark, sf_dir):
+    # dissect-style delimiter parse (logstash-filter-dissect semantics):
+    # a synthesized log line round-trips through the compiled-regex
+    # extractor; 'error' rows take the _dissectfailure path.
+    from logstash_integration_jdbc_spark.functions.dissect import DissectParser
+
+    ev = _t(spark, sf_dir, "events")
+    line = F.when(
+        F.col("event_type") != "error",
+        F.concat(F.lit("evt "), F.col("event_id").cast("string"),
+                 F.lit(" ["), F.col("event_type"), F.lit("] user="),
+                 F.col("user_id").cast("string"), F.lit(" done")),
+    ).otherwise(F.lit("malformed line"))
+    p = DissectParser("evt %{eid} [%{etype}] user=%{uid} done",
+                      types={"eid": "long", "uid": "long"})
+    out = p.apply(ev.withColumn("line", line), text_col="line")
+    return out.select(
+        "event_id", "eid", "etype", "uid",
+        F.col("parse_ok").cast("int").alias("ok"),
+        F.array_join("tags", ",").alias("tags_str"))
+
+
+def _q_kv_parse(spark, sf_dir):
+    # logstash kv filter: key=value splitting with trim/include/prefix,
+    # pure higher-order functions (functions/structured.py)
+    from logstash_integration_jdbc_spark.functions.structured import kv_parse
+
+    ev = _t(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("[type]=<"), F.col("event_type"), F.lit("> [user]=<"),
+        F.col("user_id").cast("string"), F.lit("> junk"))
+    out = kv_parse(ev.withColumn("line", line), "line",
+                   trim_key="[]", trim_value="<>",
+                   include_keys=["type", "user"], prefix="p_",
+                   fields=["p_type", "p_user"])
+    return out.select("event_id", "p_type", "p_user",
+                      F.size("kv").alias("n_keys"))
+
+
+def _q_json_parse(spark, sf_dir):
+    # logstash json filter: schema'd from_json with corrupt-record
+    # failure tagging, merged to the top level
+    from logstash_integration_jdbc_spark.functions.structured import json_parse
+
+    ev = _t(spark, sf_dir, "events")
+    out = json_parse(ev, "props", "k int")
+    return out.select("event_id", "k", F.array_join("tags", ",").alias("tags_str"))
+
+
+def _q_csv_parse(spark, sf_dir):
+    # logstash csv filter: quote-aware from_csv — the quoted middle
+    # field contains the separator and must survive the round trip
+    from logstash_integration_jdbc_spark.functions.structured import csv_parse
+
+    cust = _t(spark, sf_dir, "customer")
+    line = F.concat(
+        F.col("c_custkey").cast("string"), F.lit(',"'),
+        F.col("c_mktsegment"), F.lit(","), F.col("c_name"), F.lit('",'),
+        F.col("c_nationkey").cast("string"))
+    out = csv_parse(cust.withColumn("line", line), "line",
+                    "ck bigint, seg_name string, nk bigint")
+    return out.select("c_custkey", "ck", "seg_name", "nk",
+                      F.array_join("tags", ",").alias("tags_str"))
+
+
+def _q_mutate_fields(spark, sf_dir):
+    # logstash mutate filter: rename/case/gsub/copy/convert/replace
+    # (sprintf interpolation)/remove — one codegen'd projection
+    from logstash_integration_jdbc_spark.operators.mutate import Mutate
+
+    cust = _t(spark, sf_dir, "customer")
+    out = Mutate([
+        ("rename", "c_name", "name"),
+        ("uppercase", "name"),
+        ("gsub", "name", "#", "-"),
+        ("copy", "c_mktsegment", "seg"),
+        ("lowercase", "seg"),
+        ("replace", "label", "cust-%{c_custkey}/%{seg}"),
+        ("remove", "c_acctbal", "c_nationkey", "c_mktsegment"),
+    ]).apply(cust)
+    return out.select(F.col("c_custkey").cast("long").alias("ck"),
+                      "name", "seg", "label")
+
+
 def _q_profile_table(spark, sf_dir):
     # One-pass column profile of `documents`; exact distincts so the
     # SQL replay matches bit-for-bit (the approx/HLL path is the 100 TB
@@ -1767,6 +1851,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_table": _q_profile_table,
         "multimodal_audio_spectrum": _q_audio_spectrum,
         "text_embed": _q_text_embed,
+        "dissect_parse": _q_dissect_parse,
+        "kv_parse": _q_kv_parse,
+        "json_parse": _q_json_parse,
+        "csv_parse": _q_csv_parse,
+        "mutate_fields": _q_mutate_fields,
     }
 
 
@@ -3460,5 +3549,39 @@ def oracle_sql() -> dict[str, str]:
         FROM d2
         LEFT JOIN rb USING (doc_id)
         JOIN tot USING (doc_id)
+    """
+    q["dissect_parse"] = """
+        SELECT event_id,
+               CASE WHEN event_type <> 'error' THEN event_id END AS eid,
+               CASE WHEN event_type <> 'error' THEN event_type END AS etype,
+               CASE WHEN event_type <> 'error' THEN user_id END AS uid,
+               CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END AS ok,
+               CASE WHEN event_type <> 'error' THEN ''
+                    ELSE '_dissectfailure' END AS tags_str
+        FROM events
+    """
+    q["kv_parse"] = """
+        SELECT event_id, event_type AS p_type,
+               CAST(user_id AS VARCHAR) AS p_user, 2 AS n_keys
+        FROM events
+    """
+    q["json_parse"] = """
+        SELECT event_id,
+               CAST(json_extract_string(props, 'k') AS INTEGER) AS k,
+               '' AS tags_str
+        FROM events
+    """
+    q["csv_parse"] = """
+        SELECT c_custkey, c_custkey AS ck,
+               concat(c_mktsegment, ',', c_name) AS seg_name,
+               c_nationkey AS nk, '' AS tags_str
+        FROM customer
+    """
+    q["mutate_fields"] = """
+        SELECT c_custkey AS ck,
+               replace(upper(c_name), '#', '-') AS name,
+               lower(c_mktsegment) AS seg,
+               concat('cust-', c_custkey, '/', lower(c_mktsegment)) AS label
+        FROM customer
     """
     return q
