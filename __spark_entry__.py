@@ -777,6 +777,55 @@ def _q_csv_parse(spark, sf_dir):
                       F.array_join("tags", ",").alias("tags_str"))
 
 
+def _q_throttle_rate(spark, sf_dir):
+    # logstash throttle filter: first max_count per key per period
+    # survive, the rest are flagged — one (key, bucket) exchange
+    from logstash_integration_jdbc_spark.operators.throttle import throttle
+
+    ev = _t(spark, sf_dir, "events")
+    out = throttle(ev, ["user_id"], period="1 day", max_count=20,
+                   order_cols=["event_id"], tag=None)
+    return out.select("event_id", F.col("throttled").cast("int").alias("throttled"))
+
+
+def _q_anomaly_counts(spark, sf_dir):
+    # rolling z-score over hourly per-type counts (current bucket
+    # excluded; Poisson sqrt(mean) divisor floor)
+    from logstash_integration_jdbc_spark.operators.throttle import count_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    out = count_anomalies(ev, ["event_type"], window="1 hour",
+                          lookback=24, min_periods=6, z_thresh=3.0)
+    return out.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH").alias("bucket_s"),
+        "n",
+        F.round("mean_n", 4).alias("mean4"),
+        F.round("z", 4).alias("z4"),
+        F.col("is_anomaly").cast("int").alias("anom"))
+
+
+_CIDR_NETS = [("0.0.0.0/2", "low"), ("128.0.0.0/1", "high"),
+              ("10.0.0.0/8", "ten"), ("10.32.0.0/11", "ten-32")]
+
+
+def _q_cidr_label(spark, sf_dir):
+    # logstash cidr filter: dotted-quad → uint32 arithmetic + one
+    # most-specific-first CASE chain, map-only (operators/network.py)
+    from logstash_integration_jdbc_spark.operators.network import cidr_enrich
+
+    ev = _t(spark, sf_dir, "events")
+    ip_long = (F.col("user_id") * 2654435761) % 4294967296
+    ip = F.concat_ws(
+        ".",
+        ((ip_long / 16777216).cast("long") % 256).cast("string"),
+        ((ip_long / 65536).cast("long") % 256).cast("string"),
+        ((ip_long / 256).cast("long") % 256).cast("string"),
+        (ip_long % 256).cast("string"))
+    out = cidr_enrich(ev.withColumn("ip", ip), "ip", _CIDR_NETS)
+    return out.select("event_id", "ip", "network")
+
+
 def _q_mutate_fields(spark, sf_dir):
     # logstash mutate filter: rename/case/gsub/copy/convert/replace
     # (sprintf interpolation)/remove — one codegen'd projection
@@ -1856,6 +1905,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_parse": _q_json_parse,
         "csv_parse": _q_csv_parse,
         "mutate_fields": _q_mutate_fields,
+        "throttle_rate": _q_throttle_rate,
+        "anomaly_counts": _q_anomaly_counts,
+        "cidr_label": _q_cidr_label,
     }
 
 
@@ -3576,6 +3628,56 @@ def oracle_sql() -> dict[str, str]:
                concat(c_mktsegment, ',', c_name) AS seg_name,
                c_nationkey AS nk, '' AS tags_str
         FROM customer
+    """
+    q["throttle_rate"] = """
+        SELECT event_id,
+               CASE WHEN row_number() OVER (
+                        PARTITION BY user_id, date_trunc('day', ts)
+                        ORDER BY ts, event_id) > 20
+                    THEN 1 ELSE 0 END AS throttled
+        FROM events
+    """
+    q["anomaly_counts"] = """
+        WITH c AS (
+            SELECT event_type, date_trunc('hour', ts) AS bucket,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        ), w AS (
+            SELECT event_type, bucket, n,
+                   count(*) OVER win AS prior_n,
+                   avg(n) OVER win AS mean_n,
+                   stddev_samp(n) OVER win AS sd_n
+            FROM c
+            WINDOW win AS (PARTITION BY event_type ORDER BY bucket
+                           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_type, strftime(bucket, '%Y-%m-%d %H') AS bucket_s, n,
+               CASE WHEN prior_n >= 6 THEN round(mean_n, 4) END AS mean4,
+               CASE WHEN prior_n >= 6
+                         AND greatest(sd_n, sqrt(mean_n)) > 0
+                    THEN round((n - mean_n) / greatest(sd_n, sqrt(mean_n)), 4)
+                    END AS z4,
+               CASE WHEN prior_n >= 6
+                         AND greatest(sd_n, sqrt(mean_n)) > 0
+                         AND abs((n - mean_n) / greatest(sd_n, sqrt(mean_n))) > 3.0
+                    THEN 1 ELSE 0 END AS anom
+        FROM w
+    """
+    q["cidr_label"] = """
+        WITH b AS (
+            SELECT event_id,
+                   (user_id * 2654435761) % 4294967296 AS ipl
+            FROM events
+        )
+        SELECT event_id,
+               concat((ipl // 16777216) % 256, '.', (ipl // 65536) % 256,
+                      '.', (ipl // 256) % 256, '.', ipl % 256) AS ip,
+               CASE WHEN ipl BETWEEN 169869312 AND 171966463 THEN 'ten-32'
+                    WHEN ipl BETWEEN 167772160 AND 184549375 THEN 'ten'
+                    WHEN ipl BETWEEN 0 AND 1073741823 THEN 'low'
+                    WHEN ipl >= 2147483648 THEN 'high'
+                    END AS network
+        FROM b
     """
     q["mutate_fields"] = """
         SELECT c_custkey AS ck,

@@ -1,0 +1,143 @@
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from logstash_integration_jdbc_spark.operators.network import cidr_enrich, ip_to_long
+from logstash_integration_jdbc_spark.operators.throttle import (
+    count_anomalies,
+    throttle,
+)
+
+
+def _ts(h, m=0, s=0):
+    return dt.datetime(2024, 1, 1, h, m, s)
+
+
+# ----------------------------------------------------------- throttle
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(rows, "id int, key string, ts timestamp")
+
+
+def test_throttle_flags_beyond_max(spark):
+    rows = [(i, "a", _ts(0, i)) for i in range(5)] + [(9, "b", _ts(0))]
+    out = throttle(_mk_events(spark, rows), ["key"], period="1 hour",
+                   max_count=3, order_cols=["id"]).orderBy("id").collect()
+    flags = {r["id"]: r["throttled"] for r in out}
+    assert flags == {0: False, 1: False, 2: False, 3: True, 4: True, 9: False}
+    tagged = [r["id"] for r in out if "_throttled" in r["tags"]]
+    assert tagged == [3, 4]
+
+
+def test_throttle_resets_per_period(spark):
+    rows = [(0, "a", _ts(0, 10)), (1, "a", _ts(0, 20)),
+            (2, "a", _ts(1, 5)), (3, "a", _ts(1, 6))]
+    out = throttle(_mk_events(spark, rows), ["key"], period="1 hour",
+                   max_count=1, order_cols=["id"], tag=None)
+    assert [r["throttled"] for r in out.orderBy("id").collect()] == \
+        [False, True, False, True]
+
+
+def test_throttle_tie_break_deterministic(spark):
+    rows = [(5, "a", _ts(0)), (1, "a", _ts(0)), (3, "a", _ts(0))]
+    out = throttle(_mk_events(spark, rows), ["key"], max_count=1,
+                   order_cols=["id"], tag=None).orderBy("id").collect()
+    assert [r["throttled"] for r in out] == [False, True, True]
+
+
+def test_throttle_validates():
+    with pytest.raises(ValueError, match="max_count"):
+        throttle(None, ["k"], max_count=0)
+
+
+# ----------------------------------------------- count_anomalies
+
+
+def test_anomaly_flags_spike(spark):
+    rows, rid = [], 0
+    # key "a": 10 quiet hours of 5 events, then an hour with 50
+    for h in range(10):
+        for _ in range(5):
+            rows.append((rid, "a", _ts(h))); rid += 1
+    for _ in range(50):
+        rows.append((rid, "a", _ts(10))); rid += 1
+    out = count_anomalies(_mk_events(spark, rows), ["key"],
+                          lookback=24, min_periods=6, z_thresh=3.0)
+    got = {r["bucket"].hour: r for r in out.collect()}
+    assert got[10]["is_anomaly"] is True and got[10]["z"] > 3
+    assert all(not got[h]["is_anomaly"] for h in range(10))
+    # warm-up: fewer than min_periods prior buckets → z null
+    assert got[3]["z"] is None
+
+
+def test_anomaly_constant_traffic_no_flag(spark):
+    rows = [(h * 10 + i, "a", _ts(h)) for h in range(12) for i in range(4)]
+    out = count_anomalies(_mk_events(spark, rows), ["key"],
+                          min_periods=3).collect()
+    # steady traffic: z = 0 via the sqrt(mean) floor, never flagged
+    assert all(r["is_anomaly"] is False for r in out)
+    assert all(r["z"] == 0.0 for r in out if r["z"] is not None)
+
+
+def test_anomaly_current_bucket_excluded(spark):
+    # 8 hours of 10, then a 100-spike: trailing mean must still be 10
+    rows, rid = [], 0
+    for h in range(8):
+        for _ in range(10):
+            rows.append((rid, "a", _ts(h))); rid += 1
+    for _ in range(100):
+        rows.append((rid, "a", _ts(8))); rid += 1
+    got = {r["bucket"].hour: r for r in count_anomalies(
+        _mk_events(spark, rows), ["key"], min_periods=4).collect()}
+    assert got[8]["mean_n"] == pytest.approx(10.0)
+
+
+# ----------------------------------------------------------- network
+
+
+def test_ip_to_long(spark):
+    df = spark.createDataFrame(
+        [("1.2.3.4",), ("255.255.255.255",), ("0.0.0.0",),
+         ("256.1.1.1",), ("1.2.3",), ("junk",), (None,)], "ip string")
+    vals = [r[0] for r in df.select(ip_to_long(F.col("ip"))).collect()]
+    assert vals == [16909060, 4294967295, 0, None, None, None, None]
+
+
+NETS = [("10.0.0.0/8", "corp"), ("10.1.0.0/16", "corp-dc1"),
+        ("192.168.0.0/16", "home")]
+
+
+@pytest.mark.parametrize("method", ["case", "join"])
+def test_cidr_most_specific_wins(spark, method):
+    df = spark.createDataFrame(
+        [(1, "10.1.2.3"), (2, "10.9.9.9"), (3, "192.168.5.1"),
+         (4, "8.8.8.8"), (5, "bad-ip")], "id int, ip string")
+    out = cidr_enrich(df, "ip", NETS, method=method, id_col="id")
+    got = {r["id"]: r["network"] for r in out.collect()}
+    assert got == {1: "corp-dc1", 2: "corp", 3: "home", 4: None, 5: None}
+
+
+def test_cidr_join_preserves_rows_and_columns(spark):
+    df = spark.createDataFrame([(1, "10.1.2.3", "x")], "id int, ip string, extra string")
+    out = cidr_enrich(df, "ip", NETS, method="join", id_col="id")
+    assert out.columns == ["id", "ip", "extra", "network"]
+    assert out.count() == 1
+
+
+def test_cidr_validation():
+    with pytest.raises(ValueError, match="IPv4"):
+        cidr_enrich(None, "ip", [("::1/128", "v6")])
+    with pytest.raises(ValueError, match="id_col"):
+        cidr_enrich(None, "ip", NETS, method="join")
+    with pytest.raises(ValueError, match="host bits"):
+        cidr_enrich(None, "ip", [("10.0.0.1/8", "bad")])
+
+
+def test_cidr_case_is_map_only(spark):
+    df = spark.createDataFrame([(1, "10.0.0.1")], "id int, ip string")
+    plan = cidr_enrich(df, "ip", NETS)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
