@@ -777,6 +777,21 @@ def _q_csv_parse(spark, sf_dir):
                       F.array_join("tags", ",").alias("tags_str"))
 
 
+def _q_context_windows(spark, sf_dir):
+    # SFT example construction: each target-role turn paired with the
+    # rendered previous ≤k turns (one conv_id exchange, k-bounded frame)
+    from logstash_integration_jdbc_spark.operators.assemble import context_windows
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.col("ts"),
+    )
+    return context_windows(ev, k=4, target_role="purchase")
+
+
 def _q_throttle_rate(spark, sf_dir):
     # logstash throttle filter: first max_count per key per period
     # survive, the rest are flagged — one (key, bucket) exchange
@@ -1464,6 +1479,40 @@ def _q_audio_spectrum(spark, sf_dir):
         F.round("centroid_hz", 6).alias("centroid6"))
 
 
+def _q_audio_vad(spark, sf_dir):
+    # energy-gate VAD over decoded PCM (relative threshold, contiguous
+    # segment stats); oracle recomputes from the payload builders.
+    from logstash_integration_jdbc_spark.operators.multimodal import (
+        extract_audio_vad,
+        gen_media,
+    )
+
+    _pin(spark)
+    vad = extract_audio_vad(gen_media(spark, n_rows=300))
+    return vad.select(
+        "media_id", "n_frames", "n_active",
+        F.round("active_ratio", 6).alias("ratio6"),
+        "n_segments", "longest_run",
+        F.round("speech_s", 6).alias("speech6"))
+
+
+def _q_mp4_meta(spark, sf_dir):
+    # ISO-BMFF box-tree walk: per-track duration/codec/sample stats
+    # without decode; oracle recomputes from build_mp4's formula.
+    from logstash_integration_jdbc_spark.operators.multimodal import (
+        extract_video_metadata,
+        gen_mp4_media,
+    )
+
+    _pin(spark)
+    meta = extract_video_metadata(gen_mp4_media(spark, n_rows=50))
+    return meta.select(
+        "media_id", "brand",
+        F.round("movie_s", 6).alias("movie6"),
+        "track_id", "handler", "codec", "n_samples", "total_bytes",
+        F.round("track_s", 6).alias("track6"), "width", "height")
+
+
 def _q_media_stats(spark, sf_dir):
     # generated binary media table (no testdata media exists); the oracle
     # is the expected aggregate computed independently in pure Python
@@ -1908,6 +1957,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "throttle_rate": _q_throttle_rate,
         "anomaly_counts": _q_anomaly_counts,
         "cidr_label": _q_cidr_label,
+        "context_windows": _q_context_windows,
+        "multimodal_audio_vad": _q_audio_vad,
+        "multimodal_mp4_meta": _q_mp4_meta,
     }
 
 
@@ -2951,6 +3003,67 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT * FROM (VALUES {spvals}) "
         "t(media_id, n_frames, band, energy6, centroid6)"
     )
+    # audio VAD: expected activity stats re-derived from the payload
+    # builders with an independent run-length formulation (itertools
+    # groupby instead of the operator's diff-based runs).
+    import itertools as _it
+
+    vrows = []
+    for i in range(300):
+        s = _row_spec(i, 42)
+        if s["kind"] != "audio":
+            continue
+        rate = s["sample_rate"]
+        n_samples = rate // 10
+        raw = _pba(i, 42, n_samples * 2, salt=99)
+        samples = _npa.frombuffer(raw, dtype="<i2").astype(_npa.float64)
+        nf = len(samples) // 400
+        overall = float(_npa.sqrt((samples ** 2).mean())) if len(samples) else 0.0
+        flags = []
+        for f_ in range(nf):
+            fr = samples[f_ * 400:(f_ + 1) * 400]
+            flags.append(bool(_npa.sqrt((fr ** 2).mean()) > 0.5 * overall))
+        runs = [len(list(g)) for k, g in _it.groupby(flags) if k]
+        n_active = sum(runs)
+        vrows.append((i, nf, n_active,
+                      round(n_active / nf, 6) if nf else 0.0,
+                      len(runs), max(runs) if runs else 0,
+                      round(n_active * 400 / rate, 6) if rate else 0.0))
+    vvals = ", ".join(
+        f"(CAST({m} AS BIGINT), {nf}, {na}, CAST({ra!r} AS DOUBLE), "
+        f"{ns}, {lr}, CAST({sp!r} AS DOUBLE))"
+        for m, nf, na, ra, ns, lr, sp in vrows)
+    q["multimodal_audio_vad"] = (
+        f"SELECT * FROM (VALUES {vvals}) "
+        "t(media_id, n_frames, n_active, ratio6, n_segments, "
+        "longest_run, speech6)"
+    )
+    # mp4 metadata: expected per-track rows from build_mp4's derivation
+    # formula (nv/sizes/dims from the xxh64 of "mp4-{id}-{seed}") — the
+    # box WALK under test is not shared, only the generator arithmetic.
+    from logstash_integration_jdbc_spark.functions.xxhash import xxh64 as _xx64
+
+    mp4rows = []
+    for i in range(50):
+        hh = _xx64(f"mp4-{i}-42".encode())
+        nv = 8 + hh % 24
+        dur = round(nv * 40 / 1000, 6)
+        w_ = 16 * (2 + (hh >> 8) % 6)
+        h_ = 16 * (2 + (hh >> 16) % 4)
+        vbytes = sum(64 + ((hh >> (j % 48)) & 0xFF) for j in range(nv))
+        mp4rows.append((i, dur, 1, "vide", "avc1", nv, vbytes, w_, h_))
+        mp4rows.append((i, dur, 2, "soun", "mp4a", nv // 2 + 1,
+                        32 * (nv // 2 + 1), 0, 0))
+    mp4vals = ", ".join(
+        f"(CAST({m} AS BIGINT), 'isom', CAST({d!r} AS DOUBLE), {tid}, "
+        f"'{hd}', '{cc}', {ns}, CAST({tb} AS BIGINT), "
+        f"CAST({d!r} AS DOUBLE), {w_}, {h_})"
+        for m, d, tid, hd, cc, ns, tb, w_, h_ in mp4rows)
+    q["multimodal_mp4_meta"] = (
+        f"SELECT * FROM (VALUES {mp4vals}) "
+        "t(media_id, brand, movie6, track_id, handler, codec, "
+        "n_samples, total_bytes, track6, width, height)"
+    )
     # frame sample: expected (media_id, frame_idx, frame_len) recomputed
     # in pure Python (header + w·h·3 bytes per PPM frame).
     frame_rows = []
@@ -3628,6 +3741,24 @@ def oracle_sql() -> dict[str, str]:
                concat(c_mktsegment, ',', c_name) AS seg_name,
                c_nationkey AS nk, '' AS tags_str
         FROM customer
+    """
+    q["context_windows"] = """
+        WITH t AS (
+            SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                   CAST(event_id AS INTEGER) AS turn_idx,
+                   event_type AS role, props AS text
+            FROM events
+        )
+        SELECT conv_id, turn_idx,
+               coalesce(array_to_string(
+                   list(concat(role, ': ', text)) OVER win, chr(10)), '')
+                   AS context,
+               CAST(coalesce(len(list(1) OVER win), 0) AS INTEGER) AS n_ctx,
+               text AS target
+        FROM t
+        WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+        QUALIFY role = 'purchase'
     """
     q["throttle_rate"] = """
         SELECT event_id,

@@ -73,3 +73,45 @@ def assemble_conversations(
         "first_ts",
         "last_ts",
     )
+
+
+def context_windows(
+    df: DataFrame,
+    k: int,
+    target_role: str = "assistant",
+    sep: str = "\n",
+) -> DataFrame:
+    """Sliding-context training examples: one row per ``target_role``
+    turn, pairing it with the rendered previous ≤k turns.
+
+    The SFT-example constructor: for every assistant turn, context =
+    the k turns before it (any role), target = the turn's own text.
+    Physical shape: ONE conv_id exchange; the per-target context is a
+    ``collect_list(struct(turn_idx, line))`` over a rows-between
+    window frame (frame order follows the window's ORDER BY, so the
+    rendering is deterministic given unique turn_idx). The frame is
+    computed BEFORE the role filter so non-target turns still appear
+    in contexts; k bounds per-row state, so a 10⁶-turn conversation
+    costs O(k) per emitted example, never O(len(conv)).
+
+    Output: conv_id, turn_idx, context (string; empty for a
+    conversation-opening target), n_ctx, target.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy("conv_id").orderBy("turn_idx")
+               .rowsBetween(-k, -1))
+    ctx = F.collect_list(
+        F.struct(F.col("turn_idx").alias("turn_idx"),
+                 render_turn(F.col("role"), F.col("text")).alias("line"))
+    ).over(w)
+    return (df.withColumn("__ctx", ctx)
+              .filter(F.col("role") == target_role)
+              .select(
+                  "conv_id", "turn_idx",
+                  F.array_join(F.transform(F.col("__ctx"), lambda t: t["line"]),
+                               sep).alias("context"),
+                  F.size("__ctx").alias("n_ctx"),
+                  F.col("text").alias("target")))

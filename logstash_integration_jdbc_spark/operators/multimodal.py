@@ -751,6 +751,69 @@ def extract_audio_spectrum(df: DataFrame, frame_len: int = 512,
         run, schema=AUDIO_SPECTRUM_SCHEMA)
 
 
+AUDIO_VAD_SCHEMA = (
+    "media_id bigint, n_frames int, n_active int, active_ratio double, "
+    "n_segments int, longest_run int, speech_s double"
+)
+
+
+def extract_audio_vad(df: DataFrame, frame_len: int = 400,
+                      rel_thresh: float = 0.5) -> DataFrame:
+    """Energy-gate voice-activity detection over decoded PCM.
+
+    The classic pre-neural VAD: non-overlapping ``frame_len``-sample
+    frames, per-frame RMS, a frame is ACTIVE when its RMS exceeds
+    ``rel_thresh`` × the clip's overall RMS (relative gating makes the
+    rule level-invariant). Emits per-clip activity stats — active
+    ratio, contiguous speech segments, longest run, active seconds —
+    the columns an audio-curation pipeline filters on (drop silence,
+    drop constant noise). numpy interior inside the shared Arrow
+    ``mapInPandas`` contract; a production stack swaps in a
+    webrtcvad/silero scorer without touching the Spark plumbing.
+    """
+    import numpy as np
+
+    if frame_len < 1:
+        raise ValueError(f"frame_len must be >= 1, got {frame_len}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "n_frames": [], "n_active": [],
+                    "active_ratio": [], "n_segments": [],
+                    "longest_run": [], "speech_s": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, samples = parse_wav(bytes(payload))
+                nf = len(samples) // frame_len
+                frames = samples[: nf * frame_len].reshape(nf, frame_len)
+                frms = np.sqrt((frames ** 2).mean(axis=1))
+                overall = float(np.sqrt((samples ** 2).mean())) if len(samples) else 0.0
+                active = frms > rel_thresh * overall
+                n_active = int(active.sum())
+                # contiguous runs of active frames
+                edges = np.diff(active.astype(np.int8))
+                n_seg = int((edges == 1).sum()) + int(active[0] if nf else 0)
+                if n_active:
+                    # longest run via positions of inactive separators
+                    padded = np.concatenate(([0], active.astype(np.int8), [0]))
+                    d = np.diff(padded)
+                    starts = np.flatnonzero(d == 1)
+                    ends = np.flatnonzero(d == -1)
+                    longest = int((ends - starts).max())
+                else:
+                    longest = 0
+                rows["media_id"].append(mid)
+                rows["n_frames"].append(nf)
+                rows["n_active"].append(n_active)
+                rows["active_ratio"].append(n_active / nf if nf else 0.0)
+                rows["n_segments"].append(n_seg)
+                rows["longest_run"].append(longest)
+                rows["speech_s"].append(n_active * frame_len / rate if rate else 0.0)
+            yield pd.DataFrame(rows)
+
+    return df.filter(F.col("kind") == "audio").mapInPandas(
+        run, schema=AUDIO_VAD_SCHEMA)
+
+
 def sample_frames(df: DataFrame, every_n: int = 2, max_frames: int = 4,
                   fake: bool = False) -> DataFrame:
     """Frame-sample video payloads: one output row per sampled frame.
@@ -898,6 +961,64 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
     imgs = df.filter(F.col("kind") == "image")
     return imgs.mapInPandas(run, schema=RESIZED_IMAGE_SCHEMA)
+
+
+VIDEO_META_SCHEMA = (
+    "media_id bigint, brand string, movie_s double, track_id int, "
+    "handler string, codec string, n_samples int, total_bytes bigint, "
+    "track_s double, width int, height int"
+)
+
+
+def gen_mp4_media(spark, n_rows: int = 50, seed: int = 42) -> DataFrame:
+    """Deterministic MP4 fixture table (media_id, payload) — the
+    ISO-BMFF sibling of ``gen_media`` (functions/mp4.build_mp4)."""
+    from logstash_integration_jdbc_spark.functions.mp4 import build_mp4
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["id"],
+                "payload": [build_mp4(int(i), seed) for i in pdf["id"]],
+            })
+
+    return (spark.range(0, n_rows, numPartitions=8)
+            .mapInPandas(run, schema="media_id bigint, payload binary"))
+
+
+def extract_video_metadata(df: DataFrame) -> DataFrame:
+    """MP4 container metadata at scale: one output row per track with
+    brand, movie/track durations, handler, codec fourcc, sample count
+    and total sample bytes — everything a curation pipeline filters on
+    before paying for decode. Pure ``struct`` box walking inside the
+    shared Arrow ``mapInPandas`` contract; frame decode stays a
+    declared ffmpeg/PyAV boundary (functions/mp4.decode_mp4_frames).
+    """
+    from logstash_integration_jdbc_spark.functions.mp4 import parse_mp4
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "brand", "movie_s",
+                                    "track_id", "handler", "codec",
+                                    "n_samples", "total_bytes", "track_s",
+                                    "width", "height")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                meta = parse_mp4(bytes(payload))
+                for t in meta["tracks"]:
+                    rows["media_id"].append(mid)
+                    rows["brand"].append(meta["brand"])
+                    rows["movie_s"].append(meta["duration_s"])
+                    rows["track_id"].append(t["track_id"])
+                    rows["handler"].append(t["handler"])
+                    rows["codec"].append(t["codec"])
+                    rows["n_samples"].append(t["n_samples"])
+                    rows["total_bytes"].append(t["total_sample_bytes"])
+                    rows["track_s"].append(t["duration_s"])
+                    rows["width"].append(t["width"])
+                    rows["height"].append(t["height"])
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=VIDEO_META_SCHEMA)
 
 
 def media_stats(df: DataFrame) -> DataFrame:

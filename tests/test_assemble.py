@@ -87,3 +87,44 @@ def test_sessionize_native_exact_gap_boundary(spark):
     for r in sessionize_native(df, gap="30 minutes").collect():
         per_user[r.user_id] = per_user.get(r.user_id, 0) + 1
     assert per_user == {"u": 1, "v": 2}
+
+
+def test_context_windows_basic(spark):
+    from logstash_integration_jdbc_spark.operators.assemble import context_windows
+
+    out = context_windows(df_of(spark), k=2).orderBy("conv_id", "turn_idx").collect()
+    # c1 has assistant turns at idx 1 and 2; c2 has none
+    assert [(r.conv_id, r.turn_idx) for r in out] == [("c1", 1), ("c1", 2)]
+    assert out[0].context == "user: hello" and out[0].n_ctx == 1
+    assert out[1].context == "user: hello\nassistant: hi there"
+    assert out[1].target == "three words here"
+
+
+def test_context_windows_k_bounds_context(spark):
+    from logstash_integration_jdbc_spark.operators.assemble import context_windows
+
+    out = {r.turn_idx: r for r in context_windows(df_of(spark), k=1).collect()}
+    # k=1: turn 2 sees only turn 1, not turn 0
+    assert out[2].context == "assistant: hi there" and out[2].n_ctx == 1
+
+
+def test_context_windows_opening_target_empty_context(spark):
+    import datetime
+
+    from logstash_integration_jdbc_spark.operators.assemble import context_windows
+
+    t0 = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("c", 0, "assistant", "opener", t0)],
+        "conv_id string, turn_idx int, role string, text string, ts timestamp")
+    row = context_windows(df, k=3).collect()[0]
+    assert row.context == "" and row.n_ctx == 0
+
+
+def test_context_windows_validates(spark):
+    import pytest
+
+    from logstash_integration_jdbc_spark.operators.assemble import context_windows
+
+    with pytest.raises(ValueError, match="k must be"):
+        context_windows(df_of(spark), k=0)

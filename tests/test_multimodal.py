@@ -818,3 +818,132 @@ def test_audio_spectrum_matches_numpy_twin(spark):
             want = float(np.log10(power[lo:hi].sum() + 1e-12))
             assert abs(bands[b][0] - want) < 1e-9
             assert abs(bands[b][1] - centroid) < 1e-9
+
+
+def _pcm16_wav(samples_i16: list[int], rate: int = 8000) -> bytes:
+    import struct as st
+
+    raw = b"".join(st.pack("<h", s) for s in samples_i16)
+    return st.pack("<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(raw), b"WAVE",
+                   b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16,
+                   b"data", len(raw)) + raw
+
+
+def test_audio_vad_segments(spark):
+    from logstash_integration_jdbc_spark.operators.multimodal import (
+        extract_audio_vad,
+    )
+
+    # 10 silent frames, 10 loud, 5 silent, 4 loud (frame_len=100)
+    samples = ([0] * 1000 + [10000, -10000] * 500
+               + [0] * 500 + [10000, -10000] * 200)
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(_pcm16_wav(samples)))],
+        "media_id long, kind string, payload binary")
+    r = extract_audio_vad(df, frame_len=100).collect()[0]
+    assert r.n_frames == 29
+    assert r.n_active == 14
+    assert r.n_segments == 2
+    assert r.longest_run == 10
+    assert abs(r.active_ratio - 14 / 29) < 1e-9
+    assert abs(r.speech_s - 14 * 100 / 8000) < 1e-9
+
+
+def test_audio_vad_all_silent_and_all_active(spark):
+    from logstash_integration_jdbc_spark.operators.multimodal import (
+        extract_audio_vad,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(_pcm16_wav([0] * 800))),
+         (2, "audio", bytearray(_pcm16_wav([5000, -5000] * 400)))],
+        "media_id long, kind string, payload binary")
+    got = {r.media_id: r for r in extract_audio_vad(df, frame_len=100).collect()}
+    # silence: overall RMS 0 → every frame RMS 0 > 0 is False
+    assert got[1].n_active == 0 and got[1].n_segments == 0
+    assert got[1].longest_run == 0
+    # constant tone: every frame ≈ overall RMS, none exceeds 0.5×? No —
+    # every frame EQUALS overall, which is > 0.5×overall → all active
+    assert got[2].n_active == got[2].n_frames == 8
+    assert got[2].n_segments == 1 and got[2].longest_run == 8
+
+
+def test_audio_vad_on_generated_media(media):
+    from logstash_integration_jdbc_spark.operators.multimodal import (
+        extract_audio_vad,
+    )
+
+    rows = extract_audio_vad(media).collect()
+    assert len(rows) == media.filter(F.col("kind") == "audio").count()
+    for r in rows:
+        assert 0.0 <= r.active_ratio <= 1.0
+        assert r.n_segments <= r.n_active
+
+
+def test_mp4_parse_roundtrip():
+    from logstash_integration_jdbc_spark.functions.mp4 import build_mp4, parse_mp4
+    from logstash_integration_jdbc_spark.functions.xxhash import xxh64
+
+    b = build_mp4(7, 42)
+    meta = parse_mp4(b)
+    h = xxh64(b"mp4-7-42")
+    nv = 8 + h % 24
+    assert meta["brand"] == "isom"
+    assert abs(meta["duration_s"] - nv * 40 / 1000) < 1e-9
+    vid, aud = meta["tracks"]
+    assert (vid["handler"], vid["codec"], vid["track_id"]) == ("vide", "avc1", 1)
+    assert vid["n_samples"] == nv
+    assert vid["total_sample_bytes"] == sum(
+        64 + ((h >> (i % 48)) & 0xFF) for i in range(nv))
+    assert vid["width"] == 16 * (2 + (h >> 8) % 6)
+    assert (aud["handler"], aud["codec"], aud["n_samples"]) == ("soun", "mp4a", nv // 2 + 1)
+
+
+def test_mp4_errors():
+    import pytest as pt
+
+    from logstash_integration_jdbc_spark.functions.mp4 import (
+        _box,
+        build_mp4,
+        decode_mp4_frames,
+        parse_mp4,
+    )
+
+    with pt.raises(ValueError, match="ftyp"):
+        parse_mp4(b"\x00\x00\x00\x08free")
+    with pt.raises(ValueError, match="moov"):
+        parse_mp4(_box(b"ftyp", b"isom\x00\x00\x02\x00"))
+    with pt.raises(NotImplementedError, match="fragmented"):
+        parse_mp4(_box(b"ftyp", b"isom\x00\x00\x02\x00") + _box(b"moof", b""))
+    with pt.raises(ValueError, match="bad box size"):
+        parse_mp4(b"\x00\x00\x00\x03xxxx")
+    with pt.raises(NotImplementedError, match="ffmpeg"):
+        decode_mp4_frames(build_mp4(0, 42))
+
+
+def test_mp4_largesize_box():
+    import struct as st
+
+    from logstash_integration_jdbc_spark.functions.mp4 import _walk_boxes
+
+    body = b"payload"
+    big = st.pack(">I", 1) + b"mdat" + st.pack(">Q", 16 + len(body)) + body
+    boxes = list(_walk_boxes(big, 0, len(big)))
+    assert boxes == [(b"mdat", 16, 16 + len(body))]
+
+
+def test_video_metadata_operator(spark):
+    from logstash_integration_jdbc_spark.operators.multimodal import (
+        extract_video_metadata,
+        gen_mp4_media,
+    )
+
+    out = extract_video_metadata(gen_mp4_media(spark, n_rows=20)).collect()
+    assert len(out) == 40  # two tracks per file
+    vids = [r for r in out if r.handler == "vide"]
+    assert len(vids) == 20
+    for r in vids:
+        assert r.codec == "avc1" and r.brand == "isom"
+        assert r.n_samples >= 8 and r.total_bytes > 0
+        assert abs(r.movie_s - r.track_s) < 1e-9
+        assert r.width % 16 == 0 and r.height % 16 == 0
