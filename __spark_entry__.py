@@ -841,6 +841,41 @@ def _q_cidr_label(spark, sf_dir):
     return out.select("event_id", "ip", "network")
 
 
+def _q_date_parse(spark, sf_dir):
+    # logstash date filter: first-matching-format wins via a coalesce
+    # chain of try_to_timestamp branches (one codegen'd projection)
+    from logstash_integration_jdbc_spark.functions.timezone import parse_date
+
+    ev = _t(spark, sf_dir, "events")
+    raw = F.when(F.col("event_id") % 2 == 0,
+                 F.date_format("ts", "yyyy-MM-dd HH:mm:ss")) \
+           .otherwise(F.date_format("ts", "MM/dd/yyyy HH:mm:ss"))
+    out = parse_date(ev.withColumn("raw", raw), "raw",
+                     ["yyyy-MM-dd HH:mm:ss", "MM/dd/yyyy HH:mm:ss"])
+    return out.select(
+        "event_id", "raw",
+        F.date_format("parsed_ts", "yyyy-MM-dd HH:mm:ss").alias("parsed_s"),
+        F.array_join("tags", ",").alias("tags_str"))
+
+
+def _q_elapsed_pairs(spark, sf_dir):
+    # logstash elapsed filter: click→purchase pairing per user, one
+    # id exchange (window + groupBy share the partitioning), batch-max
+    # expiry broadcast as a scalar
+    from logstash_integration_jdbc_spark.operators.throttle import elapsed
+
+    ev = _t(spark, sf_dir, "events")
+    out = elapsed(ev, F.col("event_type") == "click",
+                  F.col("event_type") == "purchase", "user_id",
+                  timeout="1 day")
+    return out.select(
+        "user_id",
+        F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("start_s"),
+        F.date_format("end_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("end_s"),
+        F.round("elapsed_s", 6).alias("elapsed6"),
+        "status")
+
+
 def _q_mutate_fields(spark, sf_dir):
     # logstash mutate filter: rename/case/gsub/copy/convert/replace
     # (sprintf interpolation)/remove — one codegen'd projection
@@ -1960,6 +1995,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_windows": _q_context_windows,
         "multimodal_audio_vad": _q_audio_vad,
         "multimodal_mp4_meta": _q_mp4_meta,
+        "elapsed_pairs": _q_elapsed_pairs,
+        "date_parse": _q_date_parse,
     }
 
 
@@ -3809,6 +3846,54 @@ def oracle_sql() -> dict[str, str]:
                     WHEN ipl >= 2147483648 THEN 'high'
                     END AS network
         FROM b
+    """
+    q["date_parse"] = """
+        SELECT event_id,
+               CASE WHEN event_id % 2 = 0
+                    THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+                    ELSE strftime(ts, '%m/%d/%Y %H:%M:%S') END AS raw,
+               strftime(date_trunc('second', ts),
+                        '%Y-%m-%d %H:%M:%S') AS parsed_s,
+               '' AS tags_str
+        FROM events
+    """
+    q["elapsed_pairs"] = """
+        WITH st AS (
+            SELECT user_id, min(ts) AS start_ts FROM events
+            WHERE event_type = 'click' GROUP BY 1
+        ), ea AS (
+            SELECT user_id, min(ts) AS end_any FROM events
+            WHERE event_type = 'purchase' GROUP BY 1
+        ), ef AS (
+            SELECT e.user_id, min(e.ts) AS end_after
+            FROM events e JOIN st USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts >= st.start_ts
+            GROUP BY 1
+        ), base AS (
+            SELECT i.user_id, st.start_ts,
+                   coalesce(ef.end_after,
+                            CASE WHEN st.start_ts IS NULL
+                                 THEN ea.end_any END) AS end_ts
+            FROM (SELECT DISTINCT user_id FROM events) i
+            LEFT JOIN st USING (user_id)
+            LEFT JOIN ea USING (user_id)
+            LEFT JOIN ef USING (user_id)
+        )
+        SELECT user_id,
+               strftime(start_ts, '%Y-%m-%d %H:%M:%S.%f') AS start_s,
+               strftime(end_ts, '%Y-%m-%d %H:%M:%S.%f') AS end_s,
+               CASE WHEN start_ts IS NOT NULL THEN
+                    round(date_diff('microsecond', start_ts, end_ts)
+                          / 1000000.0, 6) END AS elapsed6,
+               CASE WHEN start_ts IS NULL AND end_ts IS NULL THEN NULL
+                    WHEN start_ts IS NULL THEN 'end_only'
+                    WHEN end_ts IS NULL AND
+                         (SELECT max(ts) FROM events)
+                             > start_ts + INTERVAL 1 DAY THEN 'expired'
+                    WHEN end_ts IS NULL THEN 'start_only'
+                    ELSE 'matched' END AS status
+        FROM base
+        WHERE start_ts IS NOT NULL OR end_ts IS NOT NULL
     """
     q["mutate_fields"] = """
         SELECT c_custkey AS ck,

@@ -294,6 +294,44 @@ def run_perplexity_bench(spark, n_rows: int = MINHASH_ROWS,
             "docs_per_sec": round(n_rows / wall, 1), "scored": int(scored)}
 
 
+def run_parse_bench(spark, n_rows: int = MINHASH_ROWS,
+                    reps: int = BENCH_REPS) -> dict:
+    """Grok vs dissect at volume over 1M transcript turns: both extract
+    the same four fields from the structured-payload turns (the ~75%
+    parse-hit shape); wall + rows/s each, plus hit-count agreement.
+    Dissect's one anchored regex with literal inter-field delimiters is
+    the cheap path; grok pays per-field subpattern generality."""
+    from logstash_integration_jdbc_spark.functions.dissect import DissectParser
+    from logstash_integration_jdbc_spark.functions.parse import GrokParser
+
+    from pyspark.sql import functions as F
+
+    tr = spark.read.parquet(
+        f"{_pipeline_input(spark, n_rows)}/transcripts.parquet")
+    grok = GrokParser(
+        "tool_call=%{NOTSPACE:tool_call} status=%{WORD:status} "
+        "dur_ms=%{INT:dur_ms} session=%{NOTSPACE:session}")
+    dissect = DissectParser(
+        "turn %{turn}: invoking tool_call=%{tool_call} status=%{status} "
+        "dur_ms=%{dur_ms} session=%{session}")
+    out = {}
+    hits = {}
+    for label, parser in (("grok", grok), ("dissect", dissect)):
+        walls = []
+        for _ in range(max(reps, 1)):
+            t0 = time.time()
+            hits[label] = parser.apply(tr).filter(F.col("parse_ok")).count()
+            walls.append(time.time() - t0)
+        wall = min(walls)
+        out[label] = {"wall_sec": round(wall, 3),
+                      "rows_per_sec": round(n_rows / wall, 1)}
+    # both must agree on which turns carry the structured payload
+    out["hits_agree"] = hits["grok"] == hits["dissect"]
+    out["hits"] = hits["grok"]
+    out["rows"] = n_rows
+    return out
+
+
 def run_minhash_bench(spark, n_rows: int = MINHASH_ROWS,
                       reps: int = BENCH_REPS) -> dict:
     """MinHash+LSH near-dup at volume (VERDICT r3 ask #6): wall, docs/s,
@@ -398,6 +436,10 @@ def main_bench() -> None:
     ppl1m = run_perplexity_bench(spark)
     per_query["text_perplexity_1m"] = ppl1m["wall_sec"]
 
+    parse1m = run_parse_bench(spark)
+    per_query["parse_grok_1m"] = parse1m["grok"]["wall_sec"]
+    per_query["parse_dissect_1m"] = parse1m["dissect"]["wall_sec"]
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # r4 lesson: the driver's tail capture truncated the FRONT of one
     # long line and lost the machine-readable headline. Split output:
@@ -412,6 +454,7 @@ def main_bench() -> None:
         "minhash_8m": mh8m,
         "substring_1m": sub1m,
         "perplexity_1m": ppl1m,
+        "parse_1m": parse1m,
     }
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

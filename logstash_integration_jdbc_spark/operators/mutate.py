@@ -78,7 +78,8 @@ class Mutate:
             if not op or op[0] not in {
                 "rename", "copy", "remove", "convert", "gsub", "lowercase",
                 "uppercase", "capitalize", "strip", "split", "join",
-                "merge", "replace", "update", "add_field",
+                "merge", "replace", "update", "add_field", "prune",
+                "urldecode",
             }:
                 raise ValueError(f"unknown mutate op: {op!r}")
 
@@ -93,6 +94,15 @@ class Mutate:
                 df = df.withColumn(dst, F.col(src))
             elif name == "remove":
                 df = df.drop(*args)
+            elif name == "prune":
+                # logstash-filter-prune blacklist_names: drop every
+                # column whose NAME matches the regex (schema-level,
+                # resolved driver-side — no row work at all)
+                pat = re.compile(args[0])
+                df = df.drop(*[c for c in df.columns if pat.search(c)])
+            elif name == "urldecode":
+                for f_ in args:
+                    df = df.withColumn(f_, F.try_url_decode(F.col(f_)))
             elif name == "convert":
                 f_, typ = args
                 df = df.withColumn(f_, _conv(F.col(f_), typ))

@@ -86,3 +86,64 @@ def count_anomalies(df: DataFrame, key_cols: Sequence[str], *,
             .withColumn("z", z)
             .withColumn("is_anomaly", F.coalesce(F.abs(F.col("z")) > z_thresh,
                                                  F.lit(False))))
+
+
+def elapsed(df: DataFrame, start_cond, end_cond, id_col: str, *,
+            ts_col: str = "ts", timeout: str | None = None) -> DataFrame:
+    """Start/end event pairing — the logstash ``elapsed`` filter.
+
+    The filter caches a "start" event per unique id and, when the
+    matching "end" arrives, emits the elapsed seconds; a start whose
+    end never arrives within ``timeout`` is reported expired. Batch
+    form: ONE groupBy on the id with conditional min/max aggregates
+    (no join, no second shuffle — both sides reduce in the same
+    partial aggregation):
+
+    Output: id_col, ``start_ts`` (earliest start), ``end_ts``
+    (earliest end AT OR AFTER that start — an end preceding every
+    start doesn't match, same as the filter ignoring an end with no
+    cached start), ``elapsed_s``, and ``status`` ∈ matched /
+    start_only / end_only — start_only becomes ``expired`` when
+    ``timeout`` is given and the batch's max timestamp is more than
+    the timeout past the start.
+    """
+    ts = F.col(ts_col)
+    # the earliest-start each end compares against comes from an
+    # unordered window over the SAME id partitioning the groupBy uses,
+    # so Catalyst plans one exchange for both passes
+    w = Window.partitionBy(F.col(id_col))
+    src = df
+    df = df.withColumn("_start_ts", F.min(F.when(start_cond, ts)).over(w))
+    agg = df.groupBy(F.col(id_col)).agg(
+        F.min("_start_ts").alias("start_ts"),
+        F.min(F.when(end_cond & (ts >= F.col("_start_ts")), ts)).alias("_end_after"),
+        F.min(F.when(end_cond, ts)).alias("_end_any"))
+    end_ts = F.coalesce(F.col("_end_after"),
+                        F.when(F.col("start_ts").isNull(), F.col("_end_any")))
+    agg = agg.withColumn("end_ts", end_ts)
+    status = (F.when(F.col("start_ts").isNull() & F.col("end_ts").isNull(),
+                     F.lit(None).cast("string"))
+               .when(F.col("start_ts").isNull(), F.lit("end_only"))
+               .when(F.col("end_ts").isNull(), F.lit("start_only"))
+               .otherwise(F.lit("matched")))
+    if timeout is not None:
+        # expiry is relative to batch progress: the batch-wide max ts is
+        # one scalar, broadcast onto every group (never a global window,
+        # which would funnel all rows through one partition)
+        batch_max = src.groupBy().agg(F.max(ts).alias("_batch_max"))
+        agg = agg.crossJoin(F.broadcast(batch_max))
+        expired = (F.col("start_ts").isNotNull() & F.col("end_ts").isNull()
+                   & (F.col("_batch_max")
+                      > F.col("start_ts") + F.expr(f"INTERVAL {timeout}")))
+        status = F.when(expired, F.lit("expired")).otherwise(status)
+    out = (agg.withColumn("status", status)
+              .filter(F.col("status").isNotNull())
+              .withColumn(
+                  "elapsed_s",
+                  # cast handles TIMESTAMP_NTZ sources: both endpoints
+                  # shift identically, so the difference is exact
+                  F.when(F.col("start_ts").isNotNull(),
+                         (F.unix_micros(F.col("end_ts").cast("timestamp"))
+                          - F.unix_micros(F.col("start_ts").cast("timestamp")))
+                         / 1_000_000.0)))
+    return out.select(id_col, "start_ts", "end_ts", "elapsed_s", "status")

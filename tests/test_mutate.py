@@ -95,3 +95,45 @@ def test_no_python_in_plan(spark):
                   ("replace", "t", "%{s}-%{n}")]).apply(df)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_prune_and_urldecode(spark):
+    df = spark.createDataFrame(
+        [("a%20b%2Fc", "x", "y", "z")],
+        "url string, tmp_a string, tmp_b string, keep string")
+    out = Mutate([("prune", r"^tmp_"), ("urldecode", "url")]).apply(df)
+    assert out.columns == ["url", "keep"]
+    assert _one(out)["url"] == "a b/c"
+    # malformed percent-escape → null, not an exception
+    bad = spark.createDataFrame([("%zz",)], "url string")
+    assert _one(Mutate([("urldecode", "url")]).apply(bad))["url"] is None
+
+
+def test_parse_date_first_match_wins(spark):
+    from logstash_integration_jdbc_spark.functions.timezone import parse_date
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-02 03:04:05"), (2, "02/Jan/2024 03:04:05"),
+         (3, "1704164645"), (4, "not a date"), (5, None)],
+        "id int, raw string")
+    out = {r["id"]: r for r in parse_date(
+        df, "raw",
+        ["yyyy-MM-dd HH:mm:ss", "dd/MMM/yyyy HH:mm:ss", "UNIX"]).collect()}
+    assert out[1]["parsed_ts"].year == 2024 and out[1]["parsed_ts"].day == 2
+    assert out[2]["parsed_ts"].month == 1 and out[2]["parsed_ts"].hour == 3
+    assert out[3]["parsed_ts"].year == 2024          # epoch seconds
+    assert out[4]["parsed_ts"] is None
+    assert "_dateparsefailure" in out[4]["tags"]
+    assert out[5]["parsed_ts"] is None and out[5]["tags"] == []
+
+
+def test_parse_date_unix_ms_and_validation(spark):
+    import pytest as pt
+
+    from logstash_integration_jdbc_spark.functions.timezone import parse_date
+
+    df = spark.createDataFrame([("1704164645123",)], "raw string")
+    r = parse_date(df, "raw", ["UNIX_MS"]).collect()[0]
+    assert r["parsed_ts"].year == 2024 and r["parsed_ts"].microsecond == 123000
+    with pt.raises(ValueError, match="at least one format"):
+        parse_date(df, "raw", [])

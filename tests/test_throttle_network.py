@@ -141,3 +141,59 @@ def test_cidr_case_is_map_only(spark):
     df = spark.createDataFrame([(1, "10.0.0.1")], "id int, ip string")
     plan = cidr_enrich(df, "ip", NETS)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+# ------------------------------------------------------------ elapsed
+
+
+def _mk_tasks(spark, rows):
+    return spark.createDataFrame(rows, "id int, task string, kind string, ts timestamp")
+
+
+def test_elapsed_matched_pair(spark):
+    from logstash_integration_jdbc_spark.operators.throttle import elapsed
+
+    rows = [(0, "t1", "start", _ts(0)), (1, "t1", "end", _ts(0, 5)),
+            (2, "t2", "start", _ts(1)), (3, "t3", "end", _ts(2))]
+    out = {r["task"]: r for r in elapsed(
+        _mk_tasks(spark, rows), F.col("kind") == "start",
+        F.col("kind") == "end", "task").collect()}
+    assert out["t1"]["status"] == "matched"
+    assert out["t1"]["elapsed_s"] == 300.0
+    assert out["t2"]["status"] == "start_only"
+    assert out["t3"]["status"] == "end_only" and out["t3"]["elapsed_s"] is None
+
+
+def test_elapsed_end_before_start_ignored(spark):
+    from logstash_integration_jdbc_spark.operators.throttle import elapsed
+
+    # end precedes every start → no cached start → not a match
+    rows = [(0, "t", "end", _ts(0)), (1, "t", "start", _ts(1)),
+            (2, "t", "end", _ts(3))]
+    r = elapsed(_mk_tasks(spark, rows), F.col("kind") == "start",
+                F.col("kind") == "end", "task").collect()[0]
+    assert r["status"] == "matched"
+    assert r["end_ts"].hour == 3 and r["elapsed_s"] == 7200.0
+
+
+def test_elapsed_timeout_expiry(spark):
+    from logstash_integration_jdbc_spark.operators.throttle import elapsed
+
+    rows = [(0, "old", "start", _ts(0)), (1, "new", "start", _ts(9)),
+            (2, "x", "other", _ts(10))]
+    out = {r["task"]: r["status"] for r in elapsed(
+        _mk_tasks(spark, rows), F.col("kind") == "start",
+        F.col("kind") == "end", "task", timeout="2 hours").collect()}
+    # batch max ts = 10:00; "old" started 10h ago → expired; "new" 1h ago
+    assert out == {"old": "expired", "new": "start_only"}
+    # the no-start-no-end id ("x") produced no row
+    assert "x" not in out
+
+
+def test_elapsed_single_exchange_plan(spark):
+    from logstash_integration_jdbc_spark.operators.throttle import elapsed
+
+    df = _mk_tasks(spark, [(0, "t", "start", _ts(0))])
+    plan = elapsed(df, F.col("kind") == "start", F.col("kind") == "end",
+                   "task")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
