@@ -841,6 +841,25 @@ def _q_cidr_label(spark, sf_dir):
     return out.select("event_id", "ip", "network")
 
 
+def _q_multiline(spark, sf_dir):
+    # logstash multiline codec, columnar: running-sum event ordinals +
+    # one (source, ordinal) gather; events-as-lines per user, 'signup'
+    # starting each logical event, leading lines orphaned
+    from logstash_integration_jdbc_spark.operators.multiline import (
+        multiline_assemble,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = multiline_assemble(
+        ev, F.col("event_type") == "signup",
+        group_cols=("user_id",), order_cols=("event_id",),
+        text_col="props")
+    return out.select(
+        "user_id", "event_no", F.md5("message").alias("msg_md5"),
+        "n_lines", "first_line", "last_line",
+        F.col("orphaned").cast("int").alias("orph"))
+
+
 def _q_date_parse(spark, sf_dir):
     # logstash date filter: first-matching-format wins via a coalesce
     # chain of try_to_timestamp branches (one codegen'd projection)
@@ -1997,6 +2016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_mp4_meta": _q_mp4_meta,
         "elapsed_pairs": _q_elapsed_pairs,
         "date_parse": _q_date_parse,
+        "multiline_fold": _q_multiline,
     }
 
 
@@ -3846,6 +3866,21 @@ def oracle_sql() -> dict[str, str]:
                     WHEN ipl >= 2147483648 THEN 'high'
                     END AS network
         FROM b
+    """
+    q["multiline_fold"] = """
+        WITH l AS (
+            SELECT user_id, event_id, props,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY event_id)
+                       AS event_no
+            FROM events
+        )
+        SELECT user_id, event_no,
+               md5(string_agg(props, chr(10) ORDER BY event_id)) AS msg_md5,
+               count(*) AS n_lines,
+               min(event_id) AS first_line, max(event_id) AS last_line,
+               CASE WHEN event_no = 0 THEN 1 ELSE 0 END AS orph
+        FROM l GROUP BY user_id, event_no
     """
     q["date_parse"] = """
         SELECT event_id,
