@@ -841,6 +841,17 @@ def _q_cidr_label(spark, sf_dir):
     return out.select("event_id", "ip", "network")
 
 
+def _q_split_events(spark, sf_dir):
+    # logstash split filter: one event per array element, positions
+    # kept (posexplode; map-only)
+    from logstash_integration_jdbc_spark.operators.eventops import split_events
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    toks = docs.withColumn("toks", F.split("text", " "))
+    out = split_events(toks, "toks", target="token", keep_position=True)
+    return out.select("doc_id", "token_pos", "token")
+
+
 def _q_multiline(spark, sf_dir):
     # logstash multiline codec, columnar: running-sum event ordinals +
     # one (source, ordinal) gather; events-as-lines per user, 'signup'
@@ -2017,6 +2028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "elapsed_pairs": _q_elapsed_pairs,
         "date_parse": _q_date_parse,
         "multiline_fold": _q_multiline,
+        "split_events": _q_split_events,
     }
 
 
@@ -3881,6 +3893,15 @@ def oracle_sql() -> dict[str, str]:
                min(event_id) AS first_line, max(event_id) AS last_line,
                CASE WHEN event_no = 0 THEN 1 ELSE 0 END AS orph
         FROM l GROUP BY user_id, event_no
+    """
+    q["split_events"] = """
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents WHERE doc_id < 500
+        )
+        SELECT doc_id, u.pos - 1 AS token_pos, u.tok AS token
+        FROM (SELECT doc_id, unnest(toks) AS tok,
+                     generate_subscripts(toks, 1) AS pos FROM d) u
     """
     q["date_parse"] = """
         SELECT event_id,
