@@ -852,6 +852,113 @@ def _q_split_events(spark, sf_dir):
     return out.select("doc_id", "token_pos", "token")
 
 
+def _q_translate(spark, sf_dir):
+    # logstash translate filter: inline dictionary as plan literals
+    # (element_at over create_map — map-only, codegen)
+    from logstash_integration_jdbc_spark.operators.translate import (
+        translate_field,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = translate_field(
+        ev, "event_type",
+        {"click": "interaction", "view": "interaction",
+         "purchase": "conversion", "error": "fault"},
+        dest="label", fallback="other")
+    return out.select("event_id", "event_type", "label")
+
+
+# the useragent driver row's deterministic corpus: one UA string per
+# family branch, cycled by event_id (tests/test_translate_ua.py carries
+# the same strings with hand-checked expectations)
+_UA_CORPUS = (
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+    "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 (KHTML, like Gecko) "
+    "Chrome/119.0.0.0 Safari/537.36 Edge/119.0.2151.97",
+    "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) "
+    "Chrome/108.0.0.0 Safari/537.36 OPR/94.0.0.0",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) "
+    "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Mobile/15E148 "
+    "Safari/604.1",
+    "Mozilla/5.0 (Linux; Android 13; Pixel 7) AppleWebKit/537.36 "
+    "(KHTML, like Gecko) Chrome/118.0.0.0 Mobile Safari/537.36",
+    "Mozilla/5.0 (Windows NT 6.1; Trident/7.0; rv:11.0) like Gecko",
+    "Mozilla/5.0 (X11; Ubuntu; Linux x86_64; rv:109.0) Gecko/20100101 "
+    "Firefox/119.0",
+    "Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)",
+    "curl/8.4.0",
+)
+# (family, major, os, device) per corpus index — the oracle's CASE table
+_UA_EXPECT = (
+    ("Chrome", "120", "Windows", "Other"),
+    ("Edge", "119", "Windows", "Other"),
+    ("Opera", "94", "Linux", "Other"),
+    ("Mobile Safari", "17", "iOS", "iPhone"),
+    ("Chrome Mobile", "118", "Android", "Android Mobile"),
+    ("IE", "11", "Windows", "Other"),
+    ("Firefox", "119", "Linux", "Other"),
+    ("Spider", None, "Other", "Spider"),
+    ("Other", None, "Other", "Other"),
+)
+
+
+def _q_useragent(spark, sf_dir):
+    # logstash useragent filter: ordered rlike/regexp_extract chain
+    # (priority = uap-core ordering rules), one codegen projection.
+    # UA strings synthesized deterministically from event_id so the
+    # oracle can index the expectation table independently.
+    from logstash_integration_jdbc_spark.functions.useragent import (
+        parse_useragent,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    ua = F.element_at(F.array(*[F.lit(s) for s in _UA_CORPUS]),
+                      (F.col("event_id") % len(_UA_CORPUS)).cast("int") + 1)
+    out = parse_useragent(ev.withColumn("ua", ua), "ua", target=None)
+    return out.select("event_id", "name", "major", "os_name", "device")
+
+
+def _q_xml_parse(spark, sf_dir):
+    # logstash xml filter: Spark 4 native from_xml (JVM StAX), failure
+    # via the null-struct contract; every 97th payload truncated
+    from logstash_integration_jdbc_spark.functions.structured import xml_parse
+
+    ev = _t(spark, sf_dir, "events")
+    payload = F.when(
+        F.col("event_id") % 97 == 0, F.lit("<e><broken")).otherwise(
+        F.concat(F.lit('<e type="'), F.col("event_type"),
+                 F.lit('"><u>'), F.col("user_id"),
+                 F.lit("</u><v>"), F.col("value"), F.lit("</v></e>")))
+    out = xml_parse(ev.withColumn("payload", payload), "payload",
+                    "_type string, u bigint, v double")
+    return out.select(
+        "event_id", F.col("_type").alias("etype"), "u", "v",
+        F.array_join("tags", ",").alias("tags_str"))
+
+
+def _q_syslog_pri(spark, sf_dir):
+    # logstash syslog_pri filter: facility*8+severity arithmetic +
+    # literal-array label lookup, codegen only
+    from logstash_integration_jdbc_spark.functions.syslog import syslog_pri
+
+    ev = _t(spark, sf_dir, "events")
+    out = syslog_pri(
+        ev.withColumn("pri", (F.col("event_id") % 200).cast("int")), "pri")
+    return out.select(
+        "event_id", "pri", "syslog_facility_code", "syslog_severity_code",
+        "syslog_facility", "syslog_severity")
+
+
+def _q_uuid_stamp(spark, sf_dir):
+    # logstash uuid filter, idempotent form: RFC 4122 v3 (md5
+    # name-based) so retries/reruns mint identical ids
+    from logstash_integration_jdbc_spark.functions.ids import stamp_uuid
+
+    ev = _t(spark, sf_dir, "events")
+    return stamp_uuid(ev, "event_id").select("event_id", "uuid")
+
+
 def _q_multiline(spark, sf_dir):
     # logstash multiline codec, columnar: running-sum event ordinals +
     # one (source, ordinal) gather; events-as-lines per user, 'signup'
@@ -2029,6 +2136,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_parse": _q_date_parse,
         "multiline_fold": _q_multiline,
         "split_events": _q_split_events,
+        "translate_lookup": _q_translate,
+        "useragent_parse": _q_useragent,
+        "xml_parse": _q_xml_parse,
+        "syslog_pri": _q_syslog_pri,
+        "uuid_stamp": _q_uuid_stamp,
     }
 
 
@@ -3893,6 +4005,67 @@ def oracle_sql() -> dict[str, str]:
                min(event_id) AS first_line, max(event_id) AS last_line,
                CASE WHEN event_no = 0 THEN 1 ELSE 0 END AS orph
         FROM l GROUP BY user_id, event_no
+    """
+    q["translate_lookup"] = """
+        SELECT event_id, event_type,
+               CASE event_type
+                    WHEN 'click' THEN 'interaction'
+                    WHEN 'view' THEN 'interaction'
+                    WHEN 'purchase' THEN 'conversion'
+                    WHEN 'error' THEN 'fault'
+                    ELSE 'other' END AS label
+        FROM events
+    """
+    _ua_rows = ", ".join(
+        "({}, '{}', {}, '{}', '{}')".format(
+            i, fam, "NULL" if major is None else f"'{major}'", osn, dev)
+        for i, (fam, major, osn, dev) in enumerate(_UA_EXPECT))
+    q["useragent_parse"] = f"""
+        WITH exp(idx, name, major, os_name, device) AS (VALUES {_ua_rows})
+        SELECT e.event_id, x.name, x.major, x.os_name, x.device
+        FROM events e JOIN exp x ON e.event_id % {len(_UA_EXPECT)} = x.idx
+    """
+    q["xml_parse"] = """
+        SELECT event_id,
+               CASE WHEN event_id % 97 = 0 THEN NULL
+                    ELSE event_type END AS etype,
+               CASE WHEN event_id % 97 = 0 THEN NULL ELSE user_id END AS u,
+               CASE WHEN event_id % 97 = 0 THEN NULL ELSE value END AS v,
+               CASE WHEN event_id % 97 = 0 THEN '_xmlparsefailure'
+                    ELSE '' END AS tags_str
+        FROM events
+    """
+    from logstash_integration_jdbc_spark.functions.syslog import (
+        FACILITY_LABELS,
+        SEVERITY_LABELS,
+    )
+
+    _fac = ", ".join(f"'{x}'" for x in FACILITY_LABELS)
+    _sev = ", ".join(f"'{x}'" for x in SEVERITY_LABELS)
+    q["syslog_pri"] = f"""
+        WITH b AS (
+            SELECT event_id, CAST(event_id % 200 AS INT) AS pri FROM events
+        )
+        SELECT event_id, pri,
+               CASE WHEN pri < 192 THEN pri // 8 END AS syslog_facility_code,
+               CASE WHEN pri < 192 THEN pri % 8 END AS syslog_severity_code,
+               CASE WHEN pri < 192
+                    THEN ([{_fac}])[pri // 8 + 1] END AS syslog_facility,
+               CASE WHEN pri < 192
+                    THEN ([{_sev}])[pri % 8 + 1] END AS syslog_severity
+        FROM b
+    """
+    q["uuid_stamp"] = """
+        WITH h AS (
+            SELECT event_id, md5(CAST(event_id AS VARCHAR)) AS h FROM events
+        )
+        SELECT event_id,
+               substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-3' ||
+               substr(h, 14, 3) || '-' ||
+               (['8','9','a','b'])[
+                   ((instr('0123456789abcdef', substr(h, 17, 1)) - 1) % 4) + 1
+               ] || substr(h, 18, 3) || '-' || substr(h, 21, 12) AS uuid
+        FROM h
     """
     q["split_events"] = """
         WITH d AS (

@@ -141,6 +141,30 @@ def csv_parse(df: DataFrame, text_col: str, schema: str,
     return _emit_parsed(df, tmp, names, failed, target, tag_on_failure)
 
 
+def xml_parse(df: DataFrame, text_col: str, schema: str,
+              target: str | None = None,
+              tag_on_failure: tuple[str, ...] = ("_xmlparsefailure",)) -> DataFrame:
+    """logstash-filter-xml: parse an XML string column against a schema
+    (DDL string) via Spark 4's native ``from_xml`` — JVM StAX parser,
+    no Python. Attribute fields use the XML source's ``_``-prefix
+    convention (attribute ``type`` → field ``_type``); ``target``
+    nests like :func:`json_parse`.
+
+    Failure detection uses the same corrupt-record probe as
+    json/csv_parse (PERMISSIVE null-fills the parsed fields, so a null
+    test alone can't tell bad XML from valid XML missing these keys) —
+    failing rows null their fields and take ``tag_on_failure``.
+    """
+    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"}
+    tmp = "_xml_parsed"
+    df = df.withColumn(tmp, F.from_xml(F.col(text_col),
+                                       schema + ", _corrupt string", opts))
+    failed = F.col(text_col).isNotNull() & F.col(f"{tmp}._corrupt").isNotNull()
+    names = [n for n in df.schema[tmp].dataType.fieldNames()
+             if n != "_corrupt"]
+    return _emit_parsed(df, tmp, names, failed, target, tag_on_failure)
+
+
 def _emit_parsed(df: DataFrame, tmp: str, names: list[str], failed: Column,
                  target: str | None,
                  tag_on_failure: tuple[str, ...]) -> DataFrame:

@@ -87,3 +87,31 @@ def test_csv_custom_sep_and_target(spark):
     df = spark.createDataFrame([("a|1",)], "line string")
     row = _one(csv_parse(df, "line", "s string, n int", sep="|", target="row"))
     assert row["row"].asDict() == {"s": "a", "n": 1}
+
+
+# --------------------------------------------------------------- xml
+
+
+def test_xml_elements_and_attributes(spark):
+    from logstash_integration_jdbc_spark.functions.structured import xml_parse
+
+    df = spark.createDataFrame(
+        [(1, '<e type="click"><n>5</n><msg>hi</msg></e>'),
+         (2, '<e type="view"><n>7</n></e>'),
+         (3, "<e><broken")],
+        "id int, payload string")
+    out = xml_parse(df, "payload", "_type string, n int, msg string") \
+        .orderBy("id").collect()
+    assert (out[0]["_type"], out[0]["n"], out[0]["msg"]) == ("click", 5, "hi")
+    assert out[0]["tags"] == []
+    assert (out[1]["_type"], out[1]["msg"]) == ("view", None)  # absent key ≠ failure
+    assert "_xmlparsefailure" not in out[1]["tags"]
+    assert out[2]["n"] is None and "_xmlparsefailure" in out[2]["tags"]
+
+
+def test_xml_target_nesting(spark):
+    from logstash_integration_jdbc_spark.functions.structured import xml_parse
+
+    df = spark.createDataFrame([("<e><n>3</n></e>",)], "payload string")
+    row = _one(xml_parse(df, "payload", "n int", target="doc"))
+    assert row["doc"]["n"] == 3
