@@ -852,6 +852,53 @@ def _q_split_events(spark, sf_dir):
     return out.select("doc_id", "token_pos", "token")
 
 
+def _q_metrics_rates(spark, sf_dir):
+    # logstash metrics filter, batch-exact: per (event_type, hour
+    # bucket) counts + exact trailing 1h/6h/24h rates — one groupBy
+    # exchange + one shared-sort window pass
+    from logstash_integration_jdbc_spark.operators.metrics import meter_rates
+
+    ev = _t(spark, sf_dir, "events")
+    return meter_rates(ev, "ts", ["event_type"], flush_interval=3600,
+                       windows=(3600, 21600, 86400), count_col="n")
+
+
+def _q_geoip(spark, sf_dir):
+    # logstash geoip filter over a range dimension: bucketed equi-join
+    # (never a nested-loop range probe), disjoint ranges, left
+    # semantics. Dim: 256 deterministic /9-ish ranges — range i covers
+    # the lower half of /8 block i, so the oracle replays the match in
+    # closed form while Spark exercises the real join.
+    from logstash_integration_jdbc_spark.operators.network import geoip_lookup
+
+    ev = _t(spark, sf_dir, "events")
+    ipl = (F.col("user_id") * 2654435761) % 4294967296
+    ip = F.concat_ws(
+        ".", ((ipl / 16777216) % 256).cast("int"),
+        ((ipl / 65536) % 256).cast("int"),
+        ((ipl / 256) % 256).cast("int"), (ipl % 256).cast("int"))
+    geo = spark.createDataFrame(
+        [(i * 16777216, i * 16777216 + 8388607, f"C{i % 32}", f"city{i}")
+         for i in range(256)],
+        "lo long, hi long, country string, city string")
+    out = geoip_lookup(ev.withColumn("ip", ip), "ip", geo)
+    return out.select("event_id", "ip", "country", "city")
+
+
+def _q_dsir_weights(spark, sf_dir):
+    # DSIR (Xie et al. 2023): hashed unigram+bigram importance weights
+    # of every document against the lang='en' slice as the target
+    # corpus; one bucket exchange per distribution, one broadcast
+    # log-ratio join, one per-doc sum. Oracle: full pure-Python replay
+    # (xxhash64 twins) emitted as a VALUES table.
+    from logstash_integration_jdbc_spark.operators.dsir import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    tgt = docs.filter(F.col("lang") == "en")
+    w = dsir_weights(docs, tgt, n_buckets=4096, alpha=0.5)
+    return w.select("doc_id", "n_feats", F.round("log_w", 6).alias("log_w"))
+
+
 def _q_translate(spark, sf_dir):
     # logstash translate filter: inline dictionary as plan literals
     # (element_at over create_map — map-only, codegen)
@@ -2141,6 +2188,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xml_parse": _q_xml_parse,
         "syslog_pri": _q_syslog_pri,
         "uuid_stamp": _q_uuid_stamp,
+        "dsir_weights": _q_dsir_weights,
+        "geoip_enrich": _q_geoip,
+        "metrics_rates": _q_metrics_rates,
     }
 
 
@@ -2298,6 +2348,53 @@ def _substring_oracle_values() -> str:
         f"(CAST({a} AS BIGINT), CAST({b} AS BIGINT), CAST({n} AS BIGINT))"
         for a, b, n in rows
     ) + ") t(id_a, id_b, n_shared_anchors)"
+
+
+def _dsir_oracle_values() -> str:
+    """Twin replay of _q_dsir_weights: hashed unigram+bigram features
+    (Spark-parity xxhash64 twins), add-0.5 smoothed target/raw
+    distributions, per-doc summed log-ratio, rounded to 6 dp."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from logstash_integration_jdbc_spark.functions.xxhash import (
+        spark_ws_tokens,
+        spark_xxhash64_longs,
+        xxh64_str,
+    )
+
+    B, ALPHA = 4096, 0.5
+    rows = duckdb.sql(
+        f"SELECT doc_id, text, lang FROM "
+        f"read_parquet('{_ORACLE_SF_DIR}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+
+    def feats(text: str) -> list[int]:
+        th = [xxh64_str(t) for t in spark_ws_tokens(text or "")]
+        return ([h % B for h in th]
+                + [spark_xxhash64_longs([a, b]) % B
+                   for a, b in zip(th, th[1:])])
+
+    doc_feats = {did: feats(t) for did, t, _ in rows}
+    p: Counter = Counter()
+    q: Counter = Counter()
+    for did, _t_, lang in rows:
+        if lang == "en":
+            p.update(doc_feats[did])
+        q.update(doc_feats[did])
+    t_p = sum(p.values()) + ALPHA * B
+    t_q = sum(q.values()) + ALPHA * B
+    out = []
+    for did, fs in doc_feats.items():
+        lw = sum(math.log((p[b] + ALPHA) / t_p)
+                 - math.log((q[b] + ALPHA) / t_q) for b in fs)
+        out.append((did, len(fs), round(lw, 6)))
+    return "SELECT * FROM (VALUES " + ", ".join(
+        f"(CAST({d} AS BIGINT), CAST({n} AS BIGINT), "
+        f"CAST({w!r} AS DOUBLE))" for d, n, w in out
+    ) + ") t(doc_id, n_feats, log_w)"
 
 
 def _fingerprint_oracle_values() -> str:
@@ -2751,6 +2848,7 @@ def oracle_sql() -> dict[str, str]:
     """
     q["dedup_simhash"] = _value_oracle("simhash", _simhash_oracle_values)
     q["dedup_substring"] = _value_oracle("substring", _substring_oracle_values)
+    q["dsir_weights"] = _value_oracle("dsir", _dsir_oracle_values)
     q["text_fingerprint"] = _value_oracle("fp", _fingerprint_oracle_values)
     q["dedup_minhash"] = f"""
         WITH {_SHINGLES_CTE}
@@ -4005,6 +4103,40 @@ def oracle_sql() -> dict[str, str]:
                min(event_id) AS first_line, max(event_id) AS last_line,
                CASE WHEN event_no = 0 THEN 1 ELSE 0 END AS orph
         FROM l GROUP BY user_id, event_no
+    """
+    q["metrics_rates"] = """
+        WITH c AS (
+            SELECT event_type,
+                   CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_ts,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, bucket_ts, n,
+               round(sum(n) OVER (PARTITION BY event_type ORDER BY bucket_ts
+                   RANGE BETWEEN 0 PRECEDING AND CURRENT ROW) * 1.0
+                   / 3600, 6) AS rate_3600s,
+               round(sum(n) OVER (PARTITION BY event_type ORDER BY bucket_ts
+                   RANGE BETWEEN 18000 PRECEDING AND CURRENT ROW) * 1.0
+                   / 21600, 6) AS rate_21600s,
+               round(sum(n) OVER (PARTITION BY event_type ORDER BY bucket_ts
+                   RANGE BETWEEN 82800 PRECEDING AND CURRENT ROW) * 1.0
+                   / 86400, 6) AS rate_86400s
+        FROM c
+    """
+    q["geoip_enrich"] = """
+        WITH b AS (
+            SELECT event_id,
+                   (user_id * 2654435761) % 4294967296 AS ipl
+            FROM events
+        )
+        SELECT event_id,
+               concat((ipl // 16777216) % 256, '.', (ipl // 65536) % 256,
+                      '.', (ipl // 256) % 256, '.', ipl % 256) AS ip,
+               CASE WHEN ipl % 16777216 < 8388608
+                    THEN 'C' || ((ipl // 16777216) % 32) END AS country,
+               CASE WHEN ipl % 16777216 < 8388608
+                    THEN 'city' || (ipl // 16777216) END AS city
+        FROM b
     """
     q["translate_lookup"] = """
         SELECT event_id, event_type,

@@ -50,7 +50,7 @@ BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "1000000"))
 BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 # amortized-regime pipeline row count folded into the standard bench
 BENCH_8M_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_8M_ROWS", "8000000"))
-BENCH_8M_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_8M_REPS", "1"))
+BENCH_8M_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_8M_REPS", "2"))
 SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "8000000"))
 SCALING_EXEC_CORES = int(os.environ.get("SPARK_GRAFT_SCALING_EXEC_CORES", "1"))
 

@@ -52,6 +52,49 @@ def _parse_networks(networks: Sequence[tuple[str, str]]) -> list[tuple[int, int,
     return out
 
 
+def geoip_lookup(df: DataFrame, ip_col: str, geo: DataFrame, *,
+                 lo_col: str = "lo", hi_col: str = "hi",
+                 attrs: Sequence[str] = ("country", "city"),
+                 bucket_bits: int = 16,
+                 broadcast_geo: bool = True) -> DataFrame:
+    """logstash-filter-geoip re-expressed over a range table: enrich
+    each row with the attributes of the (disjoint) IP range containing
+    its address — the MaxMind-style city/country/ASN lookup, minus the
+    proprietary .mmdb reader (load the vendor CSVs into ``geo`` as
+    (lo, hi, attrs...) uint32 ranges; reference jdbc_static docs model
+    the same local-copy-of-a-dimension pattern).
+
+    Scale plan: a raw ``BETWEEN`` against a broadcast range table is a
+    BroadcastNestedLoopJoin — O(rows × ranges), hopeless at MaxMind's
+    ~3M ranges. Instead both sides bucket by the address's top
+    ``32 - bucket_bits`` bits (ranges explode into every bucket they
+    span via ``sequence()`` — JVM-side, done ONCE on the dim), the join
+    is an EQUI-join on the bucket (hashable: broadcast when the
+    exploded dim fits, shuffle-hash otherwise), and the BETWEEN becomes
+    a cheap post-join filter inside the join condition. GeoIP ranges
+    are disjoint by construction, so at most one range matches — rows
+    keep left-join semantics, unmatched rows null the attrs.
+    """
+    if not attrs:
+        raise ValueError("geoip_lookup needs at least one attribute column")
+    shift = 1 << bucket_bits
+    gsel = [F.col(lo_col).alias("__glo"), F.col(hi_col).alias("__ghi")]
+    gsel += [F.col(a) for a in attrs]
+    gx = (geo.select(*gsel)
+              .withColumn("__bkt", F.explode(F.sequence(
+                  (F.col("__glo") / shift).cast("long"),
+                  (F.col("__ghi") / shift).cast("long")))))
+    if broadcast_geo:
+        gx = F.broadcast(gx)
+    ip = ip_to_long(F.col(ip_col))
+    tmp = "_geo_ip_long"
+    left = df.withColumn(tmp, ip)
+    cond = ((left[tmp] / shift).cast("long") == gx["__bkt"]) & \
+        left[tmp].between(gx["__glo"], gx["__ghi"])
+    out = left.join(gx, cond, "left")
+    return out.drop(tmp, "__glo", "__ghi", "__bkt")
+
+
 def cidr_enrich(df: DataFrame, ip_col: str,
                 networks: Sequence[tuple[str, str]], *,
                 out_col: str = "network", method: str = "case",

@@ -197,3 +197,58 @@ def test_elapsed_single_exchange_plan(spark):
     plan = elapsed(df, F.col("kind") == "start", F.col("kind") == "end",
                    "task")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+# ------------------------------------------------------------------ geoip
+
+
+def test_geoip_lookup_basic_and_bucket_spanning(spark):
+    from logstash_integration_jdbc_spark.operators.network import geoip_lookup
+
+    # range B spans multiple /16 buckets; C is outside every range
+    geo = spark.createDataFrame(
+        [(0, 255, "US", "nyc"),                      # tiny range in bucket 0
+         (100_000, 400_000, "DE", "ber"),            # spans buckets 1..6
+         (4_000_000_000, 4_000_100_000, "JP", "tok")],
+        "lo long, hi long, country string, city string")
+    df = spark.createDataFrame(
+        [(1, "0.0.0.10"),        # 10 → US/nyc
+         (2, "0.3.13.64"),       # 200000 → DE/ber (mid-range, bucket 3)
+         (3, "0.6.26.128"),      # 400000 → DE/ber (inclusive hi)
+         (4, "0.6.26.129"),      # 400001 → no match
+         (5, "238.107.40.0"),    # 4000000000 → JP/tok
+         (6, "999.1.2.3"),       # malformed → null ip → no match
+         (7, None)],
+        "id int, ip string")
+    out = {r["id"]: (r["country"], r["city"])
+           for r in geoip_lookup(df, "ip", geo).collect()}
+    assert out[1] == ("US", "nyc")
+    assert out[2] == ("DE", "ber")
+    assert out[3] == ("DE", "ber")
+    assert out[4] == (None, None)
+    assert out[5] == ("JP", "tok")
+    assert out[6] == (None, None)
+    assert out[7] == (None, None)
+    assert len(out) == 7  # left semantics: every row survives
+
+
+def test_geoip_lookup_plan_is_equi_join(spark):
+    from logstash_integration_jdbc_spark.operators.network import geoip_lookup
+
+    geo = spark.createDataFrame([(0, 65535, "US", "x")],
+                                "lo long, hi long, country string, city string")
+    df = spark.createDataFrame([(1, "0.0.0.1")], "id int, ip string")
+    plan = geoip_lookup(df, "ip", geo)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan          # equi-join on the bucket
+    assert "BroadcastNestedLoopJoin" not in plan  # NOT a range nested loop
+
+
+def test_geoip_lookup_needs_attrs(spark):
+    from logstash_integration_jdbc_spark.operators.network import geoip_lookup
+
+    geo = spark.createDataFrame([(0, 1, "US")], "lo long, hi long, c string")
+    df = spark.createDataFrame([(1, "0.0.0.1")], "id int, ip string")
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        geoip_lookup(df, "ip", geo, attrs=())
