@@ -852,6 +852,22 @@ def _q_split_events(spark, sf_dir):
     return out.select("doc_id", "token_pos", "token")
 
 
+def _q_temperature_mix(spark, sf_dir):
+    # T5/Pile temperature mixing over a skewed derived grouping
+    # (testdata sources are uniform, so skew is synthesized: 70/20/10):
+    # keep-prob p_s ∝ n_s^(1/τ−1), deterministic key-hash draw
+    from logstash_integration_jdbc_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "bucket",
+        F.when(F.col("doc_id") % 10 < 7, "big")
+         .when(F.col("doc_id") % 10 < 9, "mid").otherwise("small"))
+    out = temperature_sample(docs, "bucket", F.col("doc_id"), tau=2.0)
+    return out.select("doc_id", "bucket")
+
+
 def _q_metrics_rates(spark, sf_dir):
     # logstash metrics filter, batch-exact: per (event_type, hour
     # bucket) counts + exact trailing 1h/6h/24h rates — one groupBy
@@ -2191,6 +2207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir_weights,
         "geoip_enrich": _q_geoip,
         "metrics_rates": _q_metrics_rates,
+        "temperature_mix": _q_temperature_mix,
     }
 
 
@@ -2395,6 +2412,41 @@ def _dsir_oracle_values() -> str:
         f"(CAST({d} AS BIGINT), CAST({n} AS BIGINT), "
         f"CAST({w!r} AS DOUBLE))" for d, n, w in out
     ) + ") t(doc_id, n_feats, log_w)"
+
+
+def _temperature_oracle_values() -> str:
+    """Twin replay of _q_temperature_mix: skewed bucket per doc_id%10,
+    keep-prob n_s^(1/2-1)/max, survivors by the shared key-hash draw."""
+    import duckdb
+
+    from logstash_integration_jdbc_spark.functions.xxhash import xxh64_str
+    from logstash_integration_jdbc_spark.operators.sampling import (
+        HASH_BUCKETS,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT doc_id FROM "
+        f"read_parquet('{_ORACLE_SF_DIR}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+
+    def bucket(did: int) -> str:
+        m = did % 10
+        return "big" if m < 7 else ("mid" if m < 9 else "small")
+
+    from collections import Counter
+
+    n = Counter(bucket(d) for (d,) in rows)
+    raw = {s: c ** (1.0 / 2.0 - 1.0) for s, c in n.items()}
+    mx = max(raw.values())
+    p = {s: v / mx for s, v in raw.items()}
+    kept = []
+    for (did,) in rows:
+        u = (xxh64_str(f"{did}#42") % HASH_BUCKETS) / float(HASH_BUCKETS)
+        if u < p[bucket(did)]:
+            kept.append((did, bucket(did)))
+    return "SELECT * FROM (VALUES " + ", ".join(
+        f"(CAST({d} AS BIGINT), '{b}')" for d, b in kept
+    ) + ") t(doc_id, bucket)"
 
 
 def _fingerprint_oracle_values() -> str:
@@ -2849,6 +2901,8 @@ def oracle_sql() -> dict[str, str]:
     q["dedup_simhash"] = _value_oracle("simhash", _simhash_oracle_values)
     q["dedup_substring"] = _value_oracle("substring", _substring_oracle_values)
     q["dsir_weights"] = _value_oracle("dsir", _dsir_oracle_values)
+    q["temperature_mix"] = _value_oracle("temperature_mix",
+                                         _temperature_oracle_values)
     q["text_fingerprint"] = _value_oracle("fp", _fingerprint_oracle_values)
     q["dedup_minhash"] = f"""
         WITH {_SHINGLES_CTE}

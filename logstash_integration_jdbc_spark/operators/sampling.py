@@ -169,3 +169,34 @@ def quota_per_group(df: DataFrame, group_col: str, quota: int,
     return (df.withColumn("_rk", F.row_number().over(w))
             .where(F.col("_rk") <= quota)
             .drop("_rk"))
+
+
+def temperature_sample(df: DataFrame, source_col: str, key: Column,
+                       tau: float = 2.0, seed: int = 42) -> DataFrame:
+    """Temperature-based source mixing (the T5/mT5 and Pile recipe):
+    downsample each source so realized proportions follow
+    ``n_s^(1/τ)`` instead of raw ``n_s`` — τ>1 flattens the mix toward
+    uniform (small sources gain relative share), τ=1 is a no-op, τ→∞
+    is fully uniform.
+
+    Single-pass form: keep-probability ``p_s ∝ n_s^(1/τ−1)`` scaled so
+    the largest p_s is 1 (pure downsampling — upsampling is the
+    trainer's epoch policy, duplicating rows here would skew dedup and
+    token accounting downstream). Source counts come from one tiny
+    aggregate (source cardinality is small by definition — domains,
+    corpora); the probabilities ride the plan as a literal map and the
+    draw is the shared deterministic key hash — same key, same verdict,
+    across runs/engines. Map-only after the count.
+    """
+    if tau <= 0:
+        raise ValueError(f"tau must be positive, got {tau}")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    if not counts:
+        return df
+    raw = {r[source_col]: float(r["n"]) ** (1.0 / tau - 1.0) for r in counts}
+    mx = max(raw.values())
+    entries: list[Column] = []
+    for s, v in raw.items():
+        entries += [F.lit(s), F.lit(v / mx)]
+    p = F.element_at(F.create_map(*entries), F.col(source_col))
+    return df.filter(hash_uniform(key, seed) < p)
