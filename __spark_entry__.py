@@ -852,6 +852,28 @@ def _q_split_events(spark, sf_dir):
     return out.select("doc_id", "token_pos", "token")
 
 
+def _q_json_encode(spark, sf_dir):
+    # logstash json_encode filter: to_json(struct) — Jackson, key
+    # order = field order, byte-parity with DuckDB's to_json
+    from logstash_integration_jdbc_spark.operators.fieldops import json_encode
+
+    ev = _t(spark, sf_dir, "events")
+    out = json_encode(ev, ["event_id", "event_type", "user_id"], target="j")
+    return out.select("event_id", "j")
+
+
+def _q_range_gate(spark, sf_dir):
+    # logstash range filter: numeric band + string-length band, flag +
+    # violation tag, one projection
+    from logstash_integration_jdbc_spark.operators.fieldops import range_check
+
+    ev = _t(spark, sf_dir, "events")
+    out = range_check(ev, [("value", 1.0, 8.0), ("props", 1, 12)])
+    return out.select(
+        "event_id", F.col("range_ok").cast("int").alias("ok"),
+        F.array_join("tags", ",").alias("tags_str"))
+
+
 def _q_temperature_mix(spark, sf_dir):
     # T5/Pile temperature mixing over a skewed derived grouping
     # (testdata sources are uniform, so skew is synthesized: 70/20/10):
@@ -2208,6 +2230,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoip_enrich": _q_geoip,
         "metrics_rates": _q_metrics_rates,
         "temperature_mix": _q_temperature_mix,
+        "json_encode_event": _q_json_encode,
+        "range_gate": _q_range_gate,
     }
 
 
@@ -4157,6 +4181,23 @@ def oracle_sql() -> dict[str, str]:
                min(event_id) AS first_line, max(event_id) AS last_line,
                CASE WHEN event_no = 0 THEN 1 ELSE 0 END AS orph
         FROM l GROUP BY user_id, event_no
+    """
+    q["json_encode_event"] = """
+        SELECT event_id,
+               to_json(struct_pack(event_id := event_id,
+                                   event_type := event_type,
+                                   user_id := user_id)) AS j
+        FROM events
+    """
+    q["range_gate"] = """
+        SELECT event_id,
+               CASE WHEN value BETWEEN 1.0 AND 8.0
+                         AND length(props) BETWEEN 1 AND 12
+                    THEN 1 ELSE 0 END AS ok,
+               CASE WHEN value BETWEEN 1.0 AND 8.0
+                         AND length(props) BETWEEN 1 AND 12
+                    THEN '' ELSE '_rangeviolation' END AS tags_str
+        FROM events
     """
     q["metrics_rates"] = """
         WITH c AS (
