@@ -852,6 +852,37 @@ def _q_split_events(spark, sf_dir):
     return out.select("doc_id", "token_pos", "token")
 
 
+def _q_c4_rules(spark, sf_dir):
+    # C4 cleaning rules (Raffel et al. 2020 §2.2): line-level
+    # punctuation/length/boilerplate deletion + document gates, one
+    # map-only pass. Lines synthesized per doc (corpus text is a
+    # single unpunctuated line): a kept lead line, a too-short line
+    # (always dropped), a cookie-policy boiler line on doc_id%5==0
+    # (dropped as boilerplate), and a lorem-ipsum line on doc_id%7==0
+    # (kept, but trips the document gate).
+    from logstash_integration_jdbc_spark.operators.textstats import c4_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    la = F.concat(F.substring("text", 1, 40), F.lit(" end."))
+    lc = F.concat(F.substring("text", 1, 40), F.lit(" more words here?"))
+    ld = F.concat(F.substring("text", 1, 30), F.lit(" tail line three!"))
+    payload = F.concat_ws(
+        "\n", la, F.lit("too short."),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit("please accept our cookie policy terms today."))
+         .otherwise(lc),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit("lorem ipsum dolor sit amet consectetur adipiscing."))
+         .otherwise(ld))
+    out = c4_rules(docs.withColumn("payload", payload), "payload")
+    return out.select(
+        "doc_id", "c4_lines_kept",
+        F.col("c4_sentences_ok").cast("int").alias("sent_ok"),
+        F.col("c4_no_lorem").cast("int").alias("no_lorem"),
+        F.col("c4_keep").cast("int").alias("keep"),
+        F.md5("c4_text").alias("c4_md5"))
+
+
 def _q_json_encode(spark, sf_dir):
     # logstash json_encode filter: to_json(struct) — Jackson, key
     # order = field order, byte-parity with DuckDB's to_json
@@ -2232,6 +2263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": _q_temperature_mix,
         "json_encode_event": _q_json_encode,
         "range_gate": _q_range_gate,
+        "c4_rules": _q_c4_rules,
     }
 
 
@@ -4181,6 +4213,34 @@ def oracle_sql() -> dict[str, str]:
                min(event_id) AS first_line, max(event_id) AS last_line,
                CASE WHEN event_no = 0 THEN 1 ELSE 0 END AS orph
         FROM l GROUP BY user_id, event_no
+    """
+    q["c4_rules"] = """
+        WITH b AS (
+            SELECT doc_id,
+                   substring(text, 1, 40) || ' end.' AS la,
+                   substring(text, 1, 40) || ' more words here?' AS lc,
+                   substring(text, 1, 30) || ' tail line three!' AS ld
+            FROM documents
+        ), j AS (
+            SELECT doc_id,
+                   la
+                   || CASE WHEN doc_id % 5 = 0 THEN ''
+                           ELSE chr(10) || lc END
+                   || chr(10)
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN 'lorem ipsum dolor sit amet consectetur adipiscing.'
+                           ELSE ld END AS c4_text,
+                   CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 3 END AS n_kept,
+                   CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS no_lorem
+            FROM b
+        )
+        SELECT doc_id, CAST(n_kept AS BIGINT) AS c4_lines_kept,
+               CASE WHEN n_kept >= 3 THEN 1 ELSE 0 END AS sent_ok,
+               no_lorem,
+               CASE WHEN n_kept >= 3 AND no_lorem = 1 THEN 1 ELSE 0 END
+                   AS keep,
+               md5(c4_text) AS c4_md5
+        FROM j
     """
     q["json_encode_event"] = """
         SELECT event_id,

@@ -294,3 +294,55 @@ def normalize_unicode(df: DataFrame, text_col: str = "text",
         col = F.regexp_replace(col, r"[^\S\n]+", " ")
     col = _get_nfc_udf(form)(col)
     return df.withColumn(out_col, col)
+
+
+def c4_rules(df: DataFrame, text_col: str = "text",
+             min_sentences: int = 3, min_line_words: int = 5,
+             require_terminal_punct: bool = True) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020, "Exploring the Limits
+    of Transfer Learning…" §2.2) as one map-only pass — the
+    line-level half emits a CLEANED text (C4 deletes bad lines, unlike
+    Gopher's whole-document gates), the document-level half emits
+    flags + a conjunctive ``c4_keep``:
+
+    line level (kept only if): ends in terminal punctuation (. ! ? ");
+    has ≥ ``min_line_words`` words; is not the cookie/javascript
+    boilerplate C4 names (case-insensitive "javascript", "cookie
+    policy", "terms of use", "privacy policy"). The survivors rejoin as
+    ``c4_text``.
+
+    document level (on the cleaned text): ≥ ``min_sentences`` sentences
+    (terminal-punctuation count as the sentence proxy C4 uses); no
+    "lorem ipsum"; no curly brace (code leak-through).
+
+    All split/filter/rlike Catalyst expressions — no shuffle, no
+    Python; thresholds parametrized. Deduplication of three-sentence
+    spans (the paper's other step) is the job of the dedup operators
+    (``dedup_lines`` / ``substring_dup_pairs``), not re-implemented
+    here.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(text, r"\n")
+
+    def line_ok(l: Column) -> Column:
+        t = F.trim(l)
+        ok = F.size(F.split(t, r"\s+")) >= min_line_words
+        if require_terminal_punct:
+            ok = ok & t.rlike(r'[.!?"]$')
+        boiler = F.lower(t).rlike(
+            "(javascript|cookie policy|terms of use|privacy policy)")
+        return ok & ~boiler
+
+    kept = F.filter(lines, line_ok)
+    c4_text = F.array_join(kept, "\n")
+    n_sent = F.regexp_count(c4_text, F.lit(r'[.!?]'))
+    flags = {
+        "c4_lines_kept": F.size(kept).cast("bigint"),
+        "c4_sentences_ok": n_sent >= min_sentences,
+        "c4_no_lorem": ~F.lower(c4_text).contains("lorem ipsum"),
+        "c4_no_brace": ~c4_text.contains("{"),
+    }
+    out = df.withColumns({"c4_text": c4_text, **flags})
+    keep = (F.col("c4_sentences_ok") & F.col("c4_no_lorem")
+            & F.col("c4_no_brace") & (F.col("c4_lines_kept") > 0))
+    return out.withColumn("c4_keep", keep)

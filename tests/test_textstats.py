@@ -333,3 +333,54 @@ def test_normalize_unicode_composes_and_cleans(spark):
     nfkc = {r.doc_id: r.text_norm
             for r in normalize_unicode(df, form="NFKC").collect()}
     assert nfkc[4] == "fine"
+
+
+# ------------------------------------------------------------- c4 rules
+
+
+def test_c4_rules_line_and_document_gates(spark):
+    from logstash_integration_jdbc_spark.operators.textstats import c4_rules
+
+    docs = [
+        # three good lines -> keep
+        (1, "This is a perfectly fine first sentence.\n"
+            "Here is another reasonable line of text!\n"
+            "And a third one to clear the sentence bar?"),
+        # short + no-punct lines deleted; only one survivor -> too few sentences
+        (2, "word word word word word word word word\n"
+            "tiny line.\n"
+            "This single line ends with terminal punctuation."),
+        # boilerplate deleted, lorem trips the document gate
+        (3, "Read about our cookie policy terms here today.\n"
+            "lorem ipsum dolor sit amet consectetur adipiscing elit sed.\n"
+            "A good line one. A good line two. A good line three."),
+        # curly brace leaks code
+        (4, "function foo() { return 1; } and some more words here.\n"
+            "Another fine sentence right here my friend.\n"
+            "And one more to be safe about the count."),
+        (5, None),
+    ]
+    df = spark.createDataFrame(docs, "id int, text string")
+    out = {r["id"]: r for r in c4_rules(df, "text").collect()}
+    assert out[1]["c4_keep"] and out[1]["c4_lines_kept"] == 3
+    assert out[1]["c4_text"] == docs[0][1]
+    r2 = out[2]
+    assert r2["c4_lines_kept"] == 1 and not r2["c4_sentences_ok"]
+    assert not r2["c4_keep"]
+    r3 = out[3]
+    assert "cookie policy" not in r3["c4_text"]       # boiler line deleted
+    assert not r3["c4_no_lorem"] and not r3["c4_keep"]
+    r4 = out[4]
+    assert not r4["c4_no_brace"] and not r4["c4_keep"]
+    assert out[5]["c4_lines_kept"] == 0 and not out[5]["c4_keep"]
+
+
+def test_c4_rules_thresholds(spark):
+    from logstash_integration_jdbc_spark.operators.textstats import c4_rules
+
+    df = spark.createDataFrame(
+        [(1, "only four words here.")], "id int, text string")
+    # default min_line_words=5 drops it; relaxed keeps it
+    assert c4_rules(df, "text").collect()[0]["c4_lines_kept"] == 0
+    relaxed = c4_rules(df, "text", min_line_words=4, min_sentences=1)
+    assert relaxed.collect()[0]["c4_keep"]
