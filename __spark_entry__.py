@@ -852,6 +852,51 @@ def _q_split_events(spark, sf_dir):
     return out.select("doc_id", "token_pos", "token")
 
 
+def _q_bytes_parse(spark, sf_dir):
+    # logstash bytes filter: '10 MB' → byte count, binary (1024) mode;
+    # every 6th payload is unparseable and takes the failure tag
+    from logstash_integration_jdbc_spark.functions.units import parse_bytes
+
+    ev = _t(spark, sf_dir, "events")
+    unit = F.element_at(
+        F.array(*[F.lit(u) for u in ("B", "kb", "MB", "GiB", "tb", "junk")]),
+        (F.col("event_id") % 6).cast("int") + 1)
+    s = F.concat(F.col("value").cast("string"), F.lit(" "), unit)
+    out = parse_bytes(ev.withColumn("s", s), "s")
+    return out.select(
+        "event_id", F.round("bytes", 4).alias("nbytes"),
+        F.array_join("tags", ",").alias("tags_str"))
+
+
+def _q_tld_extract(spark, sf_dir):
+    # logstash tld filter: hostname → tld / registered domain /
+    # subdomain with two-level public-suffix handling
+    from logstash_integration_jdbc_spark.functions.units import tld_split
+
+    ev = _t(spark, sf_dir, "events")
+    suffix = F.element_at(
+        F.array(*[F.lit(u) for u in
+                  ("example.com", "test.co.uk", "data.org", "localhost")]),
+        (F.col("event_id") % 4).cast("int") + 1)
+    host = F.concat(F.lit("h"), (F.col("user_id") % 50).cast("string"),
+                    F.lit("."), suffix)
+    out = tld_split(ev.withColumn("host", host), "host")
+    return out.select("event_id", "host", "tld_tld", "tld_domain",
+                      "tld_subdomain")
+
+
+def _q_zlib_ratio(spark, sf_dir):
+    # Dolma-style compression-ratio quality signal: one Arrow hop
+    # (CPython zlib — deterministic, twin-replayable byte-exactly)
+    from logstash_integration_jdbc_spark.operators.textstats import (
+        compression_ratio,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = compression_ratio(docs)
+    return out.select("doc_id", F.round("zlib_ratio", 6).alias("zr"))
+
+
 def _q_c4_rules(spark, sf_dir):
     # C4 cleaning rules (Raffel et al. 2020 §2.2): line-level
     # punctuation/length/boilerplate deletion + document gates, one
@@ -2264,6 +2309,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_encode_event": _q_json_encode,
         "range_gate": _q_range_gate,
         "c4_rules": _q_c4_rules,
+        "text_zlib_ratio": _q_zlib_ratio,
+        "bytes_parse": _q_bytes_parse,
+        "tld_extract": _q_tld_extract,
     }
 
 
@@ -2468,6 +2516,29 @@ def _dsir_oracle_values() -> str:
         f"(CAST({d} AS BIGINT), CAST({n} AS BIGINT), "
         f"CAST({w!r} AS DOUBLE))" for d, n, w in out
     ) + ") t(doc_id, n_feats, log_w)"
+
+
+def _zlib_oracle_values() -> str:
+    """Twin replay of _q_zlib_ratio: the same CPython zlib at level 6.
+    Rounding must be HALF_UP (Spark's round on double goes through
+    BigDecimal.valueOf + HALF_UP; Python's round is banker's — zlib
+    ratios hit exact .5 boundaries because lengths give power-of-2
+    denominators, e.g. 93/128)."""
+    import decimal
+    import zlib
+
+    def half_up6(x: float) -> float:
+        return float(decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP))
+
+    vals = []
+    for did, text in _read_docs():
+        b = (text or "").encode("utf-8")
+        r = half_up6(len(zlib.compress(b, 6)) / len(b)) if b else None
+        vals.append(f"(CAST({did} AS BIGINT), "
+                    + (f"CAST({r!r} AS DOUBLE))" if r is not None
+                       else "CAST(NULL AS DOUBLE))"))
+    return ("SELECT * FROM (VALUES " + ", ".join(vals) + ") t(doc_id, zr)")
 
 
 def _temperature_oracle_values() -> str:
@@ -2959,6 +3030,8 @@ def oracle_sql() -> dict[str, str]:
     q["dsir_weights"] = _value_oracle("dsir", _dsir_oracle_values)
     q["temperature_mix"] = _value_oracle("temperature_mix",
                                          _temperature_oracle_values)
+    q["text_zlib_ratio"] = _value_oracle("text_zlib_ratio",
+                                         _zlib_oracle_values)
     q["text_fingerprint"] = _value_oracle("fp", _fingerprint_oracle_values)
     q["dedup_minhash"] = f"""
         WITH {_SHINGLES_CTE}
@@ -4213,6 +4286,41 @@ def oracle_sql() -> dict[str, str]:
                min(event_id) AS first_line, max(event_id) AS last_line,
                CASE WHEN event_no = 0 THEN 1 ELSE 0 END AS orph
         FROM l GROUP BY user_id, event_no
+    """
+    q["bytes_parse"] = """
+        WITH b AS (
+            SELECT event_id, value, CAST(event_id % 6 AS INT) AS u
+            FROM events
+        )
+        SELECT event_id,
+               CASE u WHEN 0 THEN round(value, 4)
+                      WHEN 1 THEN round(value * 1024, 4)
+                      WHEN 2 THEN round(value * 1048576, 4)
+                      WHEN 3 THEN round(value * 1073741824, 4)
+                      WHEN 4 THEN round(value * 1099511627776, 4)
+                      END AS nbytes,
+               CASE WHEN u = 5 THEN '_bytesparsefailure' ELSE '' END
+                   AS tags_str
+        FROM b
+    """
+    q["tld_extract"] = """
+        WITH b AS (
+            SELECT event_id,
+                   'h' || (user_id % 50) AS hn,
+                   (['example.com','test.co.uk','data.org','localhost'])
+                       [CAST(event_id % 4 AS INT) + 1] AS suf
+            FROM events
+        )
+        SELECT event_id, hn || '.' || suf AS host,
+               CASE suf WHEN 'example.com' THEN 'com'
+                        WHEN 'test.co.uk' THEN 'co.uk'
+                        WHEN 'data.org' THEN 'org'
+                        ELSE 'localhost' END AS tld_tld,
+               CASE suf WHEN 'localhost' THEN hn || '.localhost'
+                        ELSE suf END AS tld_domain,
+               CASE suf WHEN 'localhost' THEN NULL ELSE hn END
+                   AS tld_subdomain
+        FROM b
     """
     q["c4_rules"] = """
         WITH b AS (

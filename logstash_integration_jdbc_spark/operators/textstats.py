@@ -346,3 +346,43 @@ def c4_rules(df: DataFrame, text_col: str = "text",
     keep = (F.col("c4_sentences_ok") & F.col("c4_no_lorem")
             & F.col("c4_no_brace") & (F.col("c4_lines_kept") > 0))
     return out.withColumn("c4_keep", keep)
+
+
+_ZLIB_UDF = None
+
+
+def _get_zlib_udf(level: int):
+    """Arrow-batched zlib compression-ratio kernel — one of the few
+    justified Python hops (no Catalyst compression expression; CPython
+    zlib is C and deterministic for a given level, so an oracle twin
+    reproduces it byte-exactly)."""
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(s):
+        def one(t):
+            if t is None:
+                return None
+            b = t.encode("utf-8")
+            if not b:
+                return None
+            return len(zlib.compress(b, level)) / len(b)
+
+        return s.map(one)
+
+    return _ratio
+
+
+def compression_ratio(df: DataFrame, text_col: str = "text",
+                      out_col: str = "zlib_ratio",
+                      level: int = 6) -> DataFrame:
+    """Compression-ratio quality signal (the Dolma/Gopher-adjacent
+    low-entropy detector): ``len(zlib(text)) / len(text)`` over UTF-8
+    bytes. Repetitive/templated/degenerate text compresses far below
+    prose (ratio ≪ 0.4), while random or non-text bytes sit near 1 —
+    both tails are cut in corpus curation. Map-only; the text column
+    crosses to Python ONCE as Arrow batches. Null/empty text → null."""
+    return df.withColumn(out_col, _get_zlib_udf(level)(F.col(text_col)))

@@ -384,3 +384,28 @@ def test_c4_rules_thresholds(spark):
     assert c4_rules(df, "text").collect()[0]["c4_lines_kept"] == 0
     relaxed = c4_rules(df, "text", min_line_words=4, min_sentences=1)
     assert relaxed.collect()[0]["c4_keep"]
+
+
+def test_compression_ratio_separates_repetition_from_prose(spark):
+    from logstash_integration_jdbc_spark.operators.textstats import (
+        compression_ratio,
+    )
+
+    rows = [
+        (1, "spam " * 200),
+        (2, "The quarterly report details revenue, costs, hiring plans, "
+            "regional performance, and a discussion of outlook risks "
+            "across several distinct markets and product lines."),
+        (3, None),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = {r["id"]: r["zlib_ratio"]
+           for r in compression_ratio(df).collect()}
+    assert out[1] < 0.1            # repetition collapses
+    assert 0.3 < out[2] < 1.0      # prose does not
+    assert out[3] is None and out[4] is None
+    # twin parity: exactly CPython zlib at the same level
+    import zlib
+    b = rows[0][1].encode()
+    assert out[1] == len(zlib.compress(b, 6)) / len(b)
