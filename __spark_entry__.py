@@ -1120,6 +1120,20 @@ def _q_uuid_stamp(spark, sf_dir):
     return stamp_uuid(ev, "event_id").select("event_id", "uuid")
 
 
+def _q_clone_fanout(spark, sf_dir):
+    # logstash clone filter: original + one copy per label from ONE
+    # explode over a literal array (single source scan), label in
+    # `type` and appended to tags
+    from logstash_integration_jdbc_spark.operators.eventops import (
+        clone_events,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    out = clone_events(ev, ["audit", "archive"])
+    return out.select(
+        "event_id", "type", F.array_join("tags", ",").alias("tags_str"))
+
+
 def _q_multiline(spark, sf_dir):
     # logstash multiline codec, columnar: running-sum event ordinals +
     # one (source, ordinal) gather; events-as-lines per user, 'signup'
@@ -2312,6 +2326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_zlib_ratio": _q_zlib_ratio,
         "bytes_parse": _q_bytes_parse,
         "tld_extract": _q_tld_extract,
+        "clone_fanout": _q_clone_fanout,
     }
 
 
@@ -4461,6 +4476,14 @@ def oracle_sql() -> dict[str, str]:
                    ((instr('0123456789abcdef', substr(h, 17, 1)) - 1) % 4) + 1
                ] || substr(h, 18, 3) || '-' || substr(h, 21, 12) AS uuid
         FROM h
+    """
+    q["clone_fanout"] = """
+        WITH e AS (SELECT event_id FROM events WHERE event_id < 2000)
+        SELECT event_id, NULL AS type, '' AS tags_str FROM e
+        UNION ALL
+        SELECT event_id, 'audit', 'audit' FROM e
+        UNION ALL
+        SELECT event_id, 'archive', 'archive' FROM e
     """
     q["split_events"] = """
         WITH d AS (
