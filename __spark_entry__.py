@@ -2200,8 +2200,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     2. The §2-operator core fills the rest of the 50-row window.
     3. Entries green on ≥2 consecutive boards rotate to the tail
        (positions 51+); they stay fully oracle-checked every round via
-       ``tools/check_oracles.py`` (all-64 results in COVERAGE.md) and
-       rotate back into the window the following round.
+       ``tools/check_oracles.py`` (full-registry results in
+       COVERAGE.md — 115/115 OK end of r5) and rotate back into the
+       window the following round.
 
     Every entry keeps its oracle regardless of position — the cap is a
     driver display limit, not a coverage boundary.
