@@ -897,6 +897,20 @@ def _q_zlib_ratio(spark, sf_dir):
     return out.select("doc_id", F.round("zlib_ratio", 6).alias("zr"))
 
 
+def _q_bpe_encode(spark, sf_dir):
+    # trainable BPE: distributed word-count exchange + driver-side
+    # merge loop (vocab-bounded), broadcast-rank Arrow encode pass
+    from logstash_integration_jdbc_spark.operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(docs, 160)
+    out = bpe.bpe_encode(docs, merges)
+    return out.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("bigint").alias("bpe_len"),
+        F.md5(F.concat_ws("\x1f", "bpe_tokens")).alias("toks_md5"))
+
+
 def _q_c4_rules(spark, sf_dir):
     # C4 cleaning rules (Raffel et al. 2020 §2.2): line-level
     # punctuation/length/boilerplate deletion + document gates, one
@@ -2328,6 +2342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bytes_parse": _q_bytes_parse,
         "tld_extract": _q_tld_extract,
         "clone_fanout": _q_clone_fanout,
+        "bpe_encode": _q_bpe_encode,
     }
 
 
@@ -2555,6 +2570,87 @@ def _zlib_oracle_values() -> str:
                     + (f"CAST({r!r} AS DOUBLE))" if r is not None
                        else "CAST(NULL AS DOUBLE))"))
     return ("SELECT * FROM (VALUES " + ", ".join(vals) + ") t(doc_id, zr)")
+
+
+def _bpe_oracle_values() -> str:
+    """Twin replay of _q_bpe_encode with INDEPENDENT formulations of
+    both halves: training re-counts every pair each round over the
+    full vocab (no incremental maintenance), encoding applies merges
+    in rank order exhaustively (the Sennrich apply) instead of the
+    greedy min-rank-present walk — equivalent algorithms, different
+    code paths, so a bug in either fast path can't self-confirm."""
+    import hashlib
+
+    from logstash_integration_jdbc_spark.functions.xxhash import (
+        spark_ws_tokens,
+    )
+    from logstash_integration_jdbc_spark.operators.bpe import EOW
+
+    wc: dict[str, int] = {}
+    docs = _read_docs()
+    for _, text in docs:
+        for w in spark_ws_tokens(text or ""):
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+
+    vocab = {tuple(w) + (EOW,): n for w, n in wc.items()}
+    merges: list[tuple[str, str]] = []
+    for _ in range(160):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        joined = best[0] + best[1]
+        nv: dict[tuple[str, ...], int] = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and (syms[i], syms[i + 1]) == best:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + n
+        vocab = nv
+
+    def apply_in_order(word: str) -> list[str]:
+        syms = list(word) + [EOW]
+        for a, b in merges:
+            j = a + b
+            i, out = 0, []
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(j)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+            if len(syms) == 1:
+                break
+        return syms
+
+    memo: dict[str, list[str]] = {}
+    vals = []
+    for did, text in docs:
+        toks: list[str] = []
+        for w in spark_ws_tokens(text or ""):
+            if not w:
+                continue
+            if w not in memo:
+                memo[w] = apply_in_order(w)
+            toks.extend(memo[w])
+        digest = hashlib.md5("\x1f".join(toks).encode("utf-8")).hexdigest()
+        vals.append(f"(CAST({did} AS BIGINT), CAST({len(toks)} AS BIGINT), "
+                    f"'{digest}')")
+    return ("SELECT * FROM (VALUES " + ", ".join(vals)
+            + ") t(doc_id, bpe_len, toks_md5)")
 
 
 def _temperature_oracle_values() -> str:
@@ -3048,6 +3144,7 @@ def oracle_sql() -> dict[str, str]:
                                          _temperature_oracle_values)
     q["text_zlib_ratio"] = _value_oracle("text_zlib_ratio",
                                          _zlib_oracle_values)
+    q["bpe_encode"] = _value_oracle("bpe", _bpe_oracle_values)
     q["text_fingerprint"] = _value_oracle("fp", _fingerprint_oracle_values)
     q["dedup_minhash"] = f"""
         WITH {_SHINGLES_CTE}
