@@ -897,6 +897,29 @@ def _q_zlib_ratio(spark, sf_dir):
     return out.select("doc_id", F.round("zlib_ratio", 6).alias("zr"))
 
 
+def _q_hybrid_rrf(spark, sf_dir):
+    # reciprocal-rank fusion of a BM25 keyword list and a dense cosine
+    # list over the same id space — the standard hybrid-retrieval merge
+    from logstash_integration_jdbc_spark.operators.relevance import (
+        add_rank,
+        bm25_topk,
+        rrf_fuse,
+    )
+    from logstash_integration_jdbc_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bm = add_rank(bm25_topk(docs, ["spark", "join", "window"], k=25))
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    queries = emb.filter(F.col("vec_id") < 1).selectExpr(
+        "vec_id as query_id", "embedding")
+    dense = cosine_topk(emb, queries, k=25).select(
+        F.col("vec_id").alias("doc_id"), "rank")
+    return rrf_fuse([bm.select("doc_id", "rank"), dense], k=15)
+
+
 def _q_bpe_encode(spark, sf_dir):
     # trainable BPE: distributed word-count exchange + driver-side
     # merge loop (vocab-bounded), broadcast-rank Arrow encode pass
@@ -2343,6 +2366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tld_extract": _q_tld_extract,
         "clone_fanout": _q_clone_fanout,
         "bpe_encode": _q_bpe_encode,
+        "hybrid_rrf_topk": _q_hybrid_rrf,
     }
 
 
@@ -3145,6 +3169,7 @@ def oracle_sql() -> dict[str, str]:
     q["text_zlib_ratio"] = _value_oracle("text_zlib_ratio",
                                          _zlib_oracle_values)
     q["bpe_encode"] = _value_oracle("bpe", _bpe_oracle_values)
+
     q["text_fingerprint"] = _value_oracle("fp", _fingerprint_oracle_values)
     q["dedup_minhash"] = f"""
         WITH {_SHINGLES_CTE}
@@ -3935,6 +3960,59 @@ def oracle_sql() -> dict[str, str]:
         FROM post p JOIN stats s USING (term) CROSS JOIN corpus c
         GROUP BY p.doc_id
         ORDER BY score DESC, p.doc_id LIMIT 25
+    """
+    q["hybrid_rrf_topk"] = rf"""
+        WITH tok AS (
+            SELECT doc_id, len({_toks}) AS dl, unnest({_toks}) AS term
+            FROM documents
+        ), post AS (
+            SELECT doc_id, term, count(*) AS tf, min(dl) AS dl FROM tok
+            WHERE term IN ('spark', 'join', 'window')
+            GROUP BY doc_id, term
+        ), stats AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM post
+            GROUP BY term
+        ), corpus AS (
+            SELECT count(*) AS n_docs, avg(len({_toks})) AS avgdl
+            FROM documents
+        ), bm AS (
+            SELECT p.doc_id,
+                   round(sum(
+                       ln(1.0 + (c.n_docs - s.df + 0.5) / (s.df + 0.5))
+                       * (p.tf * (1.2 + 1.0))
+                       / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / c.avgdl))
+                   ), 6) AS score
+            FROM post p JOIN stats s USING (term) CROSS JOIN corpus c
+            GROUP BY p.doc_id
+            ORDER BY score DESC, p.doc_id LIMIT 25
+        ), bmr AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS r
+            FROM bm
+        ), e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), qs AS (
+            SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 1
+        ), scored AS (
+            SELECT q.query_id, e.vec_id,
+                   list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * q.qv[i]))
+                   / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cosine
+            FROM e CROSS JOIN qs q WHERE e.vec_id <> q.query_id
+        ), dr AS (
+            SELECT vec_id AS doc_id, rn AS r FROM (
+                SELECT vec_id, row_number() OVER (
+                    ORDER BY cosine DESC, vec_id ASC) AS rn
+                FROM scored
+            ) WHERE rn <= 25
+        ), u AS (
+            SELECT doc_id, r FROM bmr UNION ALL SELECT doc_id, r FROM dr
+        )
+        SELECT doc_id, round(sum(1.0 / (60 + r)), 6) AS rrf_score,
+               count(*) AS n_lists
+        FROM u GROUP BY doc_id
+        ORDER BY rrf_score DESC, doc_id LIMIT 15
     """
     # chunk_size=64, overlap=16, step=48 — mirror _q_chunk_docs.
     q["text_chunk_docs"] = rf"""

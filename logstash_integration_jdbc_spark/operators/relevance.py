@@ -42,6 +42,8 @@ __all__ = [
     "bm25_topk",
     "top_terms",
     "chunk_documents",
+    "add_rank",
+    "rrf_fuse",
 ]
 
 
@@ -191,3 +193,51 @@ def chunk_documents(df: DataFrame, chunk_size: int, overlap: int = 0,
                 (F.col("_start") / step).cast("int").alias("chunk_idx"),
                 F.size(chunk).alias("chunk_tokens"),
                 F.array_join(chunk, " ").alias("chunk_text")))
+
+
+def add_rank(df: DataFrame, score_col: str = "score",
+             id_col: str = "doc_id", out_col: str = "rank") -> DataFrame:
+    """1-based rank by descending score, id ascending on ties.
+
+    Meant for ALREADY-BOUNDED top-k lists (the outputs of ``bm25_topk``
+    / ``similarity.cosine_topk``): the global window is a single-task
+    sort of k rows, which is the correct plan at that size. Ranking a
+    corpus-sized frame should go through the two-phase per-partition
+    top-k in ``similarity._topk_per_query`` instead — keep inputs
+    k-sized.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    return df.withColumn(out_col, F.row_number().over(w))
+
+
+def rrf_fuse(lists: list[DataFrame], k: int = 10, c: int = 60,
+             id_col: str = "doc_id", rank_col: str = "rank",
+             round_to: int | None = 6) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack & Clarke & Buettcher, SIGIR'09):
+    ``rrf(d) = Σ_lists 1 / (c + rank_list(d))`` — the standard way to
+    merge a keyword (BM25) list with a dense (cosine) list without
+    score calibration; ``c=60`` is the paper's constant.
+
+    Input lists each carry (id, rank). Plan: one UNION of the k-bounded
+    lists + one groupBy(id) — both tiny by construction (inputs are
+    top-k outputs), so fusion adds no corpus-scale work regardless of
+    corpus size. Output: (id, rrf_score, n_lists), ties broken on id.
+    """
+    if not lists:
+        raise ValueError("rrf_fuse: need at least one ranked list")
+    parts = [d.select(F.col(id_col), F.col(rank_col).cast("int").alias("__r"))
+             for d in lists]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    score = F.sum(1.0 / (F.lit(float(c)) + F.col("__r")))
+    fused = (u.groupBy(id_col)
+             .agg(score.alias("rrf_score"),
+                  F.count(F.lit(1)).alias("n_lists")))
+    s = (F.round(F.col("rrf_score"), round_to)
+         if round_to is not None else F.col("rrf_score"))
+    return (fused.select(F.col(id_col), s.alias("rrf_score"), "n_lists")
+            .orderBy(F.col("rrf_score").desc(), F.col(id_col))
+            .limit(k))

@@ -10,9 +10,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from logstash_integration_jdbc_spark.operators.relevance import (
+    add_rank,
     bm25_topk,
     chunk_documents,
     postings,
+    rrf_fuse,
     tf_idf,
     top_terms,
 )
@@ -162,3 +164,41 @@ def test_chunk_coverage_reconstructs_doc(spark):
         toks = r.chunk_text.split()
         rebuilt.extend(toks if not rebuilt else toks[2:])
     assert rebuilt == text.split()
+
+
+def test_add_rank_orders_and_breaks_ties(spark):
+    df = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.5), (4, 0.1)], "doc_id int, score double")
+    got = {r["doc_id"]: r["rank"]
+           for r in add_rank(df).collect()}
+    assert got == {2: 1, 1: 2, 3: 3, 4: 4}  # tie 0.5 → lower id first
+
+
+def test_rrf_fuse_math(spark):
+    # hand-checkable: doc 7 in both lists beats doc 1 ranked 1st in one
+    a = spark.createDataFrame([(7, 2), (1, 1), (3, 3)], "doc_id int, rank int")
+    b = spark.createDataFrame([(7, 3), (9, 1), (3, 2)], "doc_id int, rank int")
+    rows = rrf_fuse([a, b], k=10, c=60).collect()
+    exp = {
+        7: 1 / 62 + 1 / 63,
+        1: 1 / 61,
+        3: 1 / 63 + 1 / 62,
+        9: 1 / 61,
+    }
+    got = {r["doc_id"]: r["rrf_score"] for r in rows}
+    for d, s in exp.items():
+        assert got[d] == pytest.approx(round(s, 6), abs=1e-9)
+    n_lists = {r["doc_id"]: r["n_lists"] for r in rows}
+    assert n_lists == {7: 2, 3: 2, 1: 1, 9: 1}
+    # ordering: 7 and 3 tie exactly (same reciprocal sum) → id order
+    order = [r["doc_id"] for r in rows]
+    assert order[:2] == [3, 7] or order[:2] == [7, 3]
+    assert set(order[2:]) == {1, 9}
+
+
+def test_rrf_fuse_k_bound_and_empty(spark):
+    a = spark.createDataFrame([(i, i + 1) for i in range(20)],
+                              "doc_id int, rank int")
+    assert rrf_fuse([a], k=5).count() == 5
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
