@@ -2004,6 +2004,110 @@ def _q_gif_frames(spark, sf_dir):
         schema="media_id bigint, frame_idx int, width int, height int, frame_md5 string")
 
 
+_GIF_COMPOSITE_PAL = [
+    [0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255],
+    [255, 255, 0], [255, 0, 255], [0, 255, 255], [255, 255, 255],
+]
+
+
+def _gif_composite_spec(i: int):
+    """Deterministic compositing-heavy animation spec for media id i:
+    full-canvas base, a transparent checkerboard patch with disposal 2,
+    and a disposal-3 spot — the three shapes the byte-carve cannot
+    handle. Returns (frames-for-encode_gif_animation, (w, h))."""
+    import numpy as np
+
+    w = 16 + (i % 5) * 4
+    h = 12 + (i % 3) * 4
+    base = np.full((h, w), (i % 6) + 1, np.uint8)
+    ph, pw = 4, 5
+    left = i % (w - pw)
+    top = i % (h - ph)
+    patch = np.zeros((ph, pw), np.uint8)
+    patch[(np.add.outer(np.arange(ph), np.arange(pw)) % 2) == 1] = 2
+    spot = np.full((3, 3), 4, np.uint8)
+    frames = [
+        base,
+        {"idx": patch, "left": left, "top": top,
+         "transparent_index": 0, "disposal": 2},
+        {"idx": spot, "left": 1, "top": 1, "disposal": 3},
+    ]
+    return frames, (w, h)
+
+
+def _gif_composite_expected(i: int):
+    """Analytic canvas replay: paints the spec rectangles directly —
+    no GIF bytes, no LZW, no GCE parsing."""
+    import numpy as np
+
+    frames, (w, h) = _gif_composite_spec(i)
+    pal = np.asarray(_GIF_COMPOSITE_PAL, np.uint8)
+    canvas = pal[np.asarray(frames[0], np.int32)]
+    out = [canvas.copy()]
+    f1 = frames[1]
+    p = np.asarray(f1["idx"], np.int32)
+    c1 = canvas.copy()
+    reg = c1[f1["top"]:f1["top"] + p.shape[0],
+             f1["left"]:f1["left"] + p.shape[1]]
+    m = p != f1["transparent_index"]
+    reg[m] = pal[p[m]]
+    out.append(c1.copy())
+    # disposal 2 → the ENTIRE frame rect restores to background
+    # (GIF89a: "the area used by the graphic must be restored to the
+    # background color" — including cells the patch left transparent)
+    c1[f1["top"]:f1["top"] + p.shape[0],
+       f1["left"]:f1["left"] + p.shape[1]] = pal[0]
+    f2 = frames[2]
+    s = np.asarray(f2["idx"], np.int32)
+    c2 = c1
+    c2[f2["top"]:f2["top"] + s.shape[0],
+       f2["left"]:f2["left"] + s.shape[1]] = pal[s]
+    out.append(c2)
+    return w, h, out
+
+
+def _q_gif_composite(spark, sf_dir):
+    # animated-GIF compositing path: partial + transparent + disposal
+    # 2/3 frames, decoded through the full GIF89a model. Oracle: the
+    # expected canvases are painted analytically from the spec
+    # rectangles (no GIF bytes touched) — a bug anywhere in LZW / GCE
+    # parsing / compositing breaks the md5.
+    import hashlib as _hl
+
+    import numpy as np
+    import pandas as pd
+
+    from logstash_integration_jdbc_spark.functions.gif import (
+        composite_gif_frames,
+        encode_gif_animation,
+    )
+
+    _pin(spark)
+    pal = np.asarray(_GIF_COMPOSITE_PAL, np.uint8)
+    payloads = []
+    for i in range(120):
+        frames, (w, h) = _gif_composite_spec(i)
+        payloads.append((i, bytearray(encode_gif_animation(frames, pal))))
+    df = spark.createDataFrame(payloads, "media_id bigint, payload binary")
+
+    def dec(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for idx, (w, h, rgb) in enumerate(
+                        composite_gif_frames(bytes(payload))):
+                    rows.append({
+                        "media_id": int(mid), "frame_idx": idx,
+                        "width": w, "height": h,
+                        "canvas_md5": _hl.md5(rgb.tobytes()).hexdigest()})
+            yield pd.DataFrame(rows)
+
+    return df.repartition(8, "media_id").mapInPandas(
+        dec,
+        schema="media_id bigint, frame_idx int, width int, height int, "
+               "canvas_md5 string")
+
+
 def _q_resize(spark, sf_dir):
     # real decode→resample→re-encode through the driver gate: the oracle
     # recomputes every resized payload's md5 with an independent
@@ -2367,6 +2471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clone_fanout": _q_clone_fanout,
         "bpe_encode": _q_bpe_encode,
         "hybrid_rrf_topk": _q_hybrid_rrf,
+        "multimodal_gif_composite": _q_gif_composite,
     }
 
 
@@ -3751,6 +3856,23 @@ def oracle_sql() -> dict[str, str]:
     q["multimodal_gif_frames"] = (
         f"SELECT * FROM (VALUES {gvals}) "
         "t(media_id, frame_idx, width, height, frame_md5)"
+    )
+    # composited animated GIF: expected canvases painted analytically
+    # from the spec rectangles (no GIF bytes) — see _gif_composite_spec
+    import hashlib as _hl3
+
+    crows = []
+    for i in range(120):
+        w, h, canvases = _gif_composite_expected(i)
+        for idx, c in enumerate(canvases):
+            crows.append((i, idx, w, h, _hl3.md5(c.tobytes()).hexdigest()))
+    cvals = ", ".join(
+        f"(CAST({m} AS BIGINT), {idx}, {w}, {h}, '{d}')"
+        for m, idx, w, h, d in crows
+    )
+    q["multimodal_gif_composite"] = (
+        f"SELECT * FROM (VALUES {cvals}) "
+        "t(media_id, frame_idx, width, height, canvas_md5)"
     )
     # resize: expected md5 of each resized payload, computed by an
     # independent pure-Python nearest-neighbor twin (list slicing, no

@@ -5,10 +5,11 @@ descriptor, global/local color tables, extension-block skipping
 (Graphic Control transparency index is honored by dropping alpha —
 callers see RGB), image descriptors, variable-width LSB-first LZW
 decompression with dictionary reset, and the 4-pass interlace row
-ordering. ``parse_gif`` returns the FIRST frame as RGB — the
-frame-sampling story for animated GIFs is the same mapInPandas
-contract the M-JPEG path uses; later frames need disposal-method
-compositing, which (like MP4) is declared toward Pillow.
+ordering. ``parse_gif`` returns the FIRST frame as RGB;
+``composite_gif_frames`` runs the full GIF89a animation model
+(partial frames, local palettes, transparency, disposal methods
+0-3), so animated sampling no longer needs Pillow — only >256-color
+composites (palette quantization) still raise toward it.
 
 The encoder exists so tests can build REAL GIF bytes without any
 library: single-frame, global palette, genuine LZW (dictionary growth,
@@ -195,18 +196,155 @@ def parse_gif(payload: bytes):
     raise ValueError("GIF contains no image descriptor")
 
 
+def _read_gce(payload: bytes, pos: int) -> tuple[int, bool, int]:
+    """(disposal, transparent_flag, transparent_index) out of a Graphic
+    Control Extension whose block-size byte is at ``pos``."""
+    packed = payload[pos + 1]
+    return (packed >> 2) & 0x07, bool(packed & 1), payload[pos + 4]
+
+
+def composite_gif_frames(payload: bytes, max_frames: int | None = None):
+    """Fully composited frames of an animated GIF → list of
+    (width, height, RGB ndarray (h, w, 3)) at CANVAS size.
+
+    The complete GIF89a animation model, stdlib-only: partial frames
+    painted at (left, top), per-frame local color tables, transparency
+    (transparent pixels leave the canvas untouched), interlace, and all
+    disposal methods — 0/1 leave the canvas, 2 restores the frame rect
+    to background, 3 restores the canvas state prior to the frame.
+    "Background" renders as the logical-screen background color when a
+    global table supplies one (black otherwise) — the alpha-drop
+    contract the rest of the image suite uses.
+    """
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, dtype=np.uint8,
+                            count=3 * n, offset=pos).reshape(n, 3)
+        pos += 3 * n
+    bg_rgb = (gct[bg] if gct is not None and bg < gct.shape[0]
+              else np.zeros(3, dtype=np.uint8))
+
+    canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+    painted = np.zeros((sh, sw), dtype=bool)
+    frames: list[tuple[int, int, "np.ndarray"]] = []
+    disposal, tflag, tindex = 0, False, 0
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9 and payload[pos] >= 4:
+                disposal, tflag, tindex = _read_gce(payload, pos)
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if left + w > sw or top + h > sh:
+            raise ValueError("GIF frame rect exceeds the logical screen")
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(payload, dtype=np.uint8,
+                                count=3 * n, offset=pos).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF frame has no color table")
+        min_code_size = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(min_code_size, bytes(data), w * h)
+        if len(idx) < w * h:
+            raise ValueError("truncated GIF image data")
+        arr = np.asarray(idx, dtype=np.int32).reshape(h, w)
+        if ipacked & 0x40:
+            out = np.zeros_like(arr)
+            out[_deinterlace_rows(h)] = arr
+            arr = out
+        if int(arr.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("GIF index out of color-table range")
+
+        creg = canvas[top:top + h, left:left + w]
+        preg = painted[top:top + h, left:left + w]
+        saved = (creg.copy(), preg.copy()) if disposal == 3 else None
+        mask = (arr != tindex) if tflag else np.ones((h, w), dtype=bool)
+        creg[mask] = pal[arr[mask]]
+        preg[mask] = True
+
+        emit = canvas.copy()
+        emit[~painted] = bg_rgb
+        frames.append((sw, sh, emit))
+        if max_frames is not None and len(frames) >= max_frames:
+            return frames
+
+        if disposal == 2:
+            preg[:] = False
+        elif disposal == 3 and saved is not None:
+            creg[:], preg[:] = saved
+        disposal, tflag, tindex = 0, False, 0  # GCE scopes one image
+    return frames
+
+
+def gif_frames_as_standalone(payload: bytes) -> list[bytes]:
+    """Every frame of an animated GIF as a standalone single-frame GIF.
+
+    Fast path: the byte-level carve (``split_gif_frames``) when frames
+    are full-canvas and opaque — no decode at all. Otherwise frames are
+    composited (``composite_gif_frames``) and re-encoded with an exact
+    adaptive palette; a composited canvas with more than 256 distinct
+    colors (mixed palettes) needs real quantization and raises toward
+    Pillow."""
+    import numpy as np
+
+    try:
+        return split_gif_frames(payload)
+    except NotImplementedError:
+        pass
+    out: list[bytes] = []
+    for _w, _h, rgb in composite_gif_frames(payload):
+        flat = rgb.reshape(-1, 3)
+        colors, inv = np.unique(flat, axis=0, return_inverse=True)
+        if colors.shape[0] > 256:
+            raise NotImplementedError(
+                "composited GIF frame has >256 colors; palette "
+                "quantization needs Pillow")
+        n = max(2, 1 << max(0, int(colors.shape[0] - 1).bit_length()))
+        pal = np.zeros((n, 3), dtype=np.uint8)
+        pal[:colors.shape[0]] = colors
+        out.append(encode_gif(inv.reshape(rgb.shape[:2]), pal))
+    return out
+
+
 def split_gif_frames(payload: bytes) -> list[bytes]:
     """Each frame of an animated GIF as a STANDALONE single-frame GIF
     (shared header + global color table re-prefixed), so every emitted
     frame decodes independently via ``parse_gif`` — the same contract
     as the M-JPEG frame carver.
 
-    Supported subset, honestly bounded: full-canvas frames (left=top=0,
-    frame dims = screen dims) without a transparency flag — each frame
-    fully repaints, so the sampled frame IS the displayed frame without
-    compositing. Partial frames and transparent frames require
-    disposal-method compositing against prior canvas state and raise
-    ``NotImplementedError`` naming Pillow."""
+    Byte-carve fast path, bounded to the shape where it is exact:
+    full-canvas frames (left=top=0, frame dims = screen dims) without a
+    transparency flag — each frame fully repaints, so the sampled frame
+    IS the displayed frame without compositing. Partial or transparent
+    frames raise ``NotImplementedError``; ``gif_frames_as_standalone``
+    catches it and routes through ``composite_gif_frames``."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
@@ -225,9 +363,9 @@ def split_gif_frames(payload: bytes) -> list[bytes]:
             pos += 1
             if label == 0xF9 and payload[pos] >= 4 and payload[pos + 1] & 1:
                 raise NotImplementedError(
-                    "transparent GIF frames need Pillow (disposal "
-                    "compositing); opaque full-canvas animations split "
-                    "stdlib-side")
+                    "transparent GIF frames need compositing — route "
+                    "through gif_frames_as_standalone/"
+                    "composite_gif_frames")
             while payload[pos]:
                 pos += 1 + payload[pos]
             pos += 1
@@ -238,8 +376,8 @@ def split_gif_frames(payload: bytes) -> list[bytes]:
         left, top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
         if (left, top) != (0, 0) or (w, h) != (sw, sh):
             raise NotImplementedError(
-                "partial GIF frames need Pillow (disposal compositing); "
-                "full-canvas animations split stdlib-side")
+                "partial GIF frames need compositing — route through "
+                "gif_frames_as_standalone/composite_gif_frames")
         pos += 9
         if ipacked & 0x80:
             pos += 3 * (2 << (ipacked & 0x07))
@@ -251,30 +389,77 @@ def split_gif_frames(payload: bytes) -> list[bytes]:
     return frames
 
 
-def encode_gif_animation(frames, palette) -> bytes:
-    """Multi-frame GIF from a list of (h, w) index arrays sharing one
-    global palette (full-canvas opaque frames — the subset
-    ``split_gif_frames`` supports). Fixture factory."""
+def encode_gif_animation(frames, palette, screen=None, background=0) -> bytes:
+    """Multi-frame GIF fixture factory.
+
+    Back-compat form: ``frames`` = list of full-canvas (h, w) index
+    arrays sharing the global ``palette`` (opaque, no GCE) — the
+    subset the byte-carve handles.
+
+    Compositing form: a frame may instead be a dict
+    ``{"idx": (h, w) array, "left": int, "top": int,
+       "disposal": 0-3, "transparent_index": int | None,
+       "palette": local (n, 3) table | None}``
+    — emitted with a Graphic Control Extension and (optionally) a
+    local color table, exactly the shapes ``composite_gif_frames``
+    exists to handle. ``screen=(w, h)`` sets the logical screen when
+    the first frame is partial; ``background`` is the LSD background
+    color index.
+    """
     import numpy as np
 
     palette = np.ascontiguousarray(palette, dtype=np.uint8)
     n = palette.shape[0]
     if n < 2 or n & (n - 1):
         raise ValueError("palette size must be a power of two >= 2")
-    h, w = np.asarray(frames[0]).shape
-    min_code_size = max(2, n.bit_length() - 1)
+
+    def spec(fr):
+        if isinstance(fr, dict):
+            return fr
+        return {"idx": fr}
+
+    first = spec(frames[0])
+    fh, fw = np.asarray(first["idx"]).shape
+    if screen is None:
+        if first.get("left") or first.get("top"):
+            raise ValueError("screen= required when the first frame is "
+                             "offset")
+        screen = (fw, fh)
+    sw, sh = screen
     out = bytearray(b"GIF89a")
-    out += struct.pack("<HHBBB", w, h, 0x80 | (n.bit_length() - 2), 0, 0)
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | (n.bit_length() - 2),
+                       background, 0)
     out += palette.tobytes()
-    for idx in frames:
-        idx = np.ascontiguousarray(idx, dtype=np.uint8)
-        if idx.shape != (h, w):
-            raise ValueError("all frames must share the canvas dims")
-        if int(idx.max(initial=0)) >= n:
+    for fr in frames:
+        s = spec(fr)
+        idx = np.ascontiguousarray(s["idx"], dtype=np.uint8)
+        h, w = idx.shape
+        left, top = int(s.get("left", 0)), int(s.get("top", 0))
+        if left + w > sw or top + h > sh:
+            raise ValueError("frame rect exceeds the logical screen")
+        lpal = s.get("palette")
+        if lpal is not None:
+            lpal = np.ascontiguousarray(lpal, dtype=np.uint8)
+            ln = lpal.shape[0]
+            if ln < 2 or ln & (ln - 1):
+                raise ValueError("local palette size must be a power of "
+                                 "two >= 2")
+        plim = (lpal if lpal is not None else palette).shape[0]
+        if int(idx.max(initial=0)) >= plim:
             raise ValueError("index out of palette range")
-        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x00)
-        out.append(min_code_size)
-        data = _lzw_encode(min_code_size, idx.reshape(-1).tolist())
+        tidx = s.get("transparent_index")
+        disposal = int(s.get("disposal", 0))
+        if tidx is not None or disposal:
+            gce_packed = (disposal & 0x07) << 2 | (1 if tidx is not None else 0)
+            out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, gce_packed, 0,
+                               tidx or 0, 0)
+        ipacked = 0x80 | (ln.bit_length() - 2) if lpal is not None else 0x00
+        out += struct.pack("<BHHHHB", 0x2C, left, top, w, h, ipacked)
+        if lpal is not None:
+            out += lpal.tobytes()
+        mcs = max(2, plim.bit_length() - 1)
+        out.append(mcs)
+        data = _lzw_encode(mcs, idx.reshape(-1).tolist())
         for i in range(0, len(data), 255):
             chunk = data[i : i + 255]
             out.append(len(chunk))

@@ -822,10 +822,12 @@ def sample_frames(df: DataFrame, every_n: int = 2, max_frames: int = 4,
     or animated GIF (sniffed by leading bytes: SOI ``FFD8`` → M-JPEG,
     ``GIF8`` → GIF, else P6) — emitting every ``every_n``-th frame's
     bytes (a complete standalone PPM/JPEG/single-frame GIF) up to
-    ``max_frames``. GIF covers the compositing-free subset (full-canvas
-    opaque frames); partial/transparent animations and MP4/inter-frame
-    codecs need Pillow/pyav in the same contract. Fake kernel:
-    deterministic payload slices (plumbing only).
+    ``max_frames``. GIF: full-canvas opaque animations are byte-carved
+    with no decode; partial/transparent frames are composited through
+    the full GIF89a disposal model and re-encoded standalone
+    (>256-color composites and MP4/inter-frame codecs still need
+    Pillow/pyav). Fake kernel: deterministic payload slices (plumbing
+    only).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -856,13 +858,13 @@ def sample_frames(df: DataFrame, every_n: int = 2, max_frames: int = 4,
                             rows["frame_bytes"].append(b[start:end])
                             taken += 1
                     continue
-                if b[:4] == b"GIF8":  # animated GIF (full-canvas subset)
+                if b[:4] == b"GIF8":  # animated GIF (carve or composite)
                     from logstash_integration_jdbc_spark.functions.gif import (
-                        split_gif_frames,
+                        gif_frames_as_standalone,
                     )
 
                     taken = 0
-                    for idx, frame in enumerate(split_gif_frames(b)):
+                    for idx, frame in enumerate(gif_frames_as_standalone(b)):
                         if taken >= max_frames:
                             break
                         if idx % every_n == 0:

@@ -120,13 +120,13 @@ def test_split_gif_frames_compositing_boundary():
     i = blob.find(b"\x2C", 14)
     j = blob.find(b"\x2C", i + 1)
     blob[j + 5 : j + 7] = (2).to_bytes(2, "little")
-    with pytest.raises(NotImplementedError, match="Pillow"):
+    with pytest.raises(NotImplementedError, match="compositing"):
         split_gif_frames(bytes(blob))
     # transparency flag in a GCE → Pillow boundary
     gce = bytes.fromhex("21f904" + "05000000" + "00")
     t = bytearray(encode_gif_animation([np.zeros((4, 4), np.uint8)], pal))
     k = t.find(b"\x2C", 14)
-    with pytest.raises(NotImplementedError, match="Pillow"):
+    with pytest.raises(NotImplementedError, match="compositing"):
         split_gif_frames(bytes(t[:k]) + gce + bytes(t[k:]))
 
 
@@ -142,3 +142,177 @@ def test_sample_frames_animated_gif(spark):
     for r in out[:5]:
         w, h, px = parse_gif(bytes(r.frame_bytes))
         assert w > 0 and h > 0 and px.shape == (h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# full compositing model
+# ---------------------------------------------------------------------------
+
+PAL4 = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                dtype=np.uint8)
+
+
+def _expected_paint(canvas, frame, pal, left, top, tidx):
+    """Independent numpy replay of one paint step."""
+    out = canvas.copy()
+    h, w = frame.shape
+    reg = out[top:top + h, left:left + w]
+    m = np.ones((h, w), bool) if tidx is None else frame != tidx
+    reg[m] = pal[frame[m]]
+    return out
+
+
+def test_composite_partial_frames_disposal_none():
+    from logstash_integration_jdbc_spark.functions.gif import (
+        composite_gif_frames,
+        encode_gif_animation,
+    )
+
+    base = np.full((6, 8), 1, np.uint8)          # red canvas
+    patch = np.full((2, 3), 2, np.uint8)         # green patch at (2,1)
+    blob = encode_gif_animation(
+        [base, {"idx": patch, "left": 1, "top": 2}], PAL4)
+    frames = composite_gif_frames(blob)
+    assert [f[:2] for f in frames] == [(8, 6), (8, 6)]
+    exp0 = _expected_paint(np.zeros((6, 8, 3), np.uint8), base, PAL4, 0, 0, None)
+    exp1 = _expected_paint(exp0, patch, PAL4, 1, 2, None)
+    assert np.array_equal(frames[0][2], exp0)
+    assert np.array_equal(frames[1][2], exp1)
+
+
+def test_composite_transparency_leaves_canvas():
+    from logstash_integration_jdbc_spark.functions.gif import (
+        composite_gif_frames,
+        encode_gif_animation,
+    )
+
+    base = np.full((4, 4), 3, np.uint8)          # blue
+    over = np.array([[0, 2], [2, 0]], np.uint8)  # 0 transparent
+    blob = encode_gif_animation(
+        [base, {"idx": over, "left": 1, "top": 1, "transparent_index": 0}],
+        PAL4)
+    frames = composite_gif_frames(blob)
+    exp = _expected_paint(
+        _expected_paint(np.zeros((4, 4, 3), np.uint8), base, PAL4, 0, 0, None),
+        over, PAL4, 1, 1, 0)
+    assert np.array_equal(frames[1][2], exp)
+    # transparent cells kept the blue underneath
+    assert tuple(frames[1][2][1, 1]) == (0, 0, 255)
+
+
+def test_composite_disposal_background_and_previous():
+    from logstash_integration_jdbc_spark.functions.gif import (
+        composite_gif_frames,
+        encode_gif_animation,
+    )
+
+    base = np.full((4, 4), 1, np.uint8)          # red
+    spot = np.full((2, 2), 2, np.uint8)          # green spot
+    # disposal 2: after emit, spot region restores to BACKGROUND (bg=0 → black)
+    blob = encode_gif_animation(
+        [base,
+         {"idx": spot, "left": 1, "top": 1, "disposal": 2},
+         {"idx": np.full((1, 1), 3, np.uint8), "left": 0, "top": 0}],
+        PAL4)
+    f = composite_gif_frames(blob)
+    assert tuple(f[1][2][1, 1]) == (0, 255, 0)       # spot visible on emit
+    assert tuple(f[2][2][1, 1]) == (0, 0, 0)         # then restored to bg
+    assert tuple(f[2][2][0, 0]) == (0, 0, 255)       # frame 3 painted
+
+    # disposal 3: region restores to the PRE-FRAME canvas (red)
+    blob3 = encode_gif_animation(
+        [base,
+         {"idx": spot, "left": 1, "top": 1, "disposal": 3},
+         {"idx": np.full((1, 1), 3, np.uint8), "left": 0, "top": 0}],
+        PAL4)
+    f3 = composite_gif_frames(blob3)
+    assert tuple(f3[1][2][1, 1]) == (0, 255, 0)
+    assert tuple(f3[2][2][1, 1]) == (255, 0, 0)
+
+
+def test_composite_local_palette_and_unpainted_bg():
+    from logstash_integration_jdbc_spark.functions.gif import (
+        composite_gif_frames,
+        encode_gif_animation,
+    )
+
+    lpal = np.array([[9, 9, 9], [200, 100, 50]], dtype=np.uint8)
+    patch = np.array([[1]], np.uint8)
+    # first frame is PARTIAL: unpainted canvas renders as background
+    # color (index 1 of the global table = red)
+    blob = encode_gif_animation(
+        [{"idx": patch, "left": 2, "top": 2, "palette": lpal}],
+        PAL4, screen=(4, 4), background=1)
+    f = composite_gif_frames(blob)
+    assert tuple(f[0][2][2, 2]) == (200, 100, 50)    # local palette color
+    assert tuple(f[0][2][0, 0]) == (255, 0, 0)       # bg fill
+    # frame rect outside the screen raises
+    with pytest.raises(ValueError, match="exceeds"):
+        composite_gif_frames(encode_gif_animation(
+            [{"idx": patch, "left": 5, "top": 0, "palette": lpal}],
+            PAL4, screen=(4, 4)))
+
+
+def test_gif_frames_as_standalone_composited_roundtrip():
+    from logstash_integration_jdbc_spark.functions.gif import (
+        composite_gif_frames,
+        encode_gif_animation,
+        gif_frames_as_standalone,
+    )
+
+    base = np.full((5, 7), 1, np.uint8)
+    over = np.array([[0, 2, 2]], np.uint8)
+    blob = encode_gif_animation(
+        [base,
+         {"idx": over, "left": 3, "top": 2, "transparent_index": 0,
+          "disposal": 2},
+         {"idx": np.full((2, 2), 3, np.uint8), "left": 0, "top": 3}],
+        PAL4)
+    composited = composite_gif_frames(blob)
+    standalone = gif_frames_as_standalone(blob)
+    assert len(standalone) == len(composited) == 3
+    for (w, h, rgb), frame_bytes in zip(composited, standalone):
+        fw, fh, px = parse_gif(frame_bytes)
+        assert (fw, fh) == (w, h)
+        assert np.array_equal(px, rgb)
+
+
+def test_gif_frames_as_standalone_fast_path_unchanged():
+    from logstash_integration_jdbc_spark.functions.gif import (
+        encode_gif_animation,
+        gif_frames_as_standalone,
+        split_gif_frames,
+    )
+
+    frames = [np.full((4, 4), i % 4, np.uint8) for i in range(3)]
+    blob = encode_gif_animation(frames, PAL4)
+    assert gif_frames_as_standalone(blob) == split_gif_frames(blob)
+
+
+def test_sample_frames_composited_gif(spark):
+    from logstash_integration_jdbc_spark.functions.gif import (
+        composite_gif_frames,
+        encode_gif_animation,
+    )
+    from logstash_integration_jdbc_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    base = np.full((6, 6), 1, np.uint8)
+    blob = encode_gif_animation(
+        [base,
+         {"idx": np.full((2, 2), 2, np.uint8), "left": 2, "top": 2,
+          "disposal": 3},
+         {"idx": np.full((3, 3), 3, np.uint8), "left": 3, "top": 0,
+          "transparent_index": 0}],
+        PAL4)
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(blob), {"n_frames": "3"})],
+        "media_id bigint, kind string, payload binary, meta map<string,string>")
+    rows = sample_frames(df, every_n=1, max_frames=10).collect()
+    assert [r.frame_idx for r in rows] == [0, 1, 2]
+    comp = composite_gif_frames(blob)
+    for r, (w, h, rgb) in zip(rows, comp):
+        fw, fh, px = parse_gif(bytes(r.frame_bytes))
+        assert (fw, fh) == (w, h)
+        assert np.array_equal(px, rgb)
