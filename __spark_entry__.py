@@ -1695,6 +1695,76 @@ def _jpeg_tile_analytic(rgb: tuple[int, int, int]) -> tuple[tuple[int, int, int]
     return out, safe
 
 
+def _jpeg_cmyk_spec(i: int):
+    """Deterministic 4-component JPEG spec for driver row i:
+    (w, h, stored CMYK 4-tuple, adobe_transform 0 | None). Solid
+    planes at quality 100 (all-ones quant tables) decode EXACTLY, so
+    expected RGB is the closed-form S·S_k/255 (Adobe) or its inverted
+    twin (bare CMYK) — colors whose conversion lands within 0.01 of a
+    rounding boundary are skipped so float noise can't flip a pixel."""
+    import hashlib as _h
+
+    w = 16 + (i % 3) * 8
+    h = 8 + (i % 4) * 8
+    transform = 0 if i % 2 == 0 else None
+    ctr = 0
+    while True:
+        d = _h.sha256(f"jpegcmyk:{i}:{ctr}".encode()).digest()
+        ctr += 1
+        stored = (d[0], d[1], d[2], d[3])
+        s = stored if transform == 0 else tuple(255 - v for v in stored)
+        safe = True
+        for ch in range(3):
+            v = s[ch] * s[3] / 255.0
+            if abs((v - int(v)) - 0.5) < 0.01:
+                safe = False
+        if safe:
+            return w, h, stored, transform
+
+
+def _jpeg_cmyk_expected(i: int):
+    w, h, stored, transform = _jpeg_cmyk_spec(i)
+    s = stored if transform == 0 else tuple(255 - v for v in stored)
+    rgb = tuple(int(round(s[ch] * s[3] / 255.0)) for ch in range(3))
+    return w, h, rgb
+
+
+def _q_jpeg_cmyk(spark, sf_dir):
+    # 4-component CMYK decode (APP14 Adobe-inverted and bare-ink
+    # forms): solid planes at quality 100 reconstruct exactly, so the
+    # oracle is pure closed-form arithmetic — no codec code at all.
+    import numpy as np
+    import pandas as pd
+
+    from logstash_integration_jdbc_spark.functions.jpeg import (
+        encode_jpeg,
+        parse_jpeg,
+    )
+
+    _pin(spark)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                w, h, stored, transform = _jpeg_cmyk_spec(int(i))
+                px = np.zeros((h, w, 4), np.uint8)
+                px[..., :] = stored
+                blob = encode_jpeg(px, quality=100,
+                                   adobe_transform=transform)
+                dw, dh, rgb = parse_jpeg(blob)
+                rows.append({"media_id": int(i), "width": dw, "height": dh,
+                             "r": int(rgb[0, 0, 0]), "g": int(rgb[0, 0, 1]),
+                             "b": int(rgb[0, 0, 2]),
+                             "uniform": bool((rgb == rgb[0, 0]).all())})
+            yield pd.DataFrame(rows)
+
+    return spark.range(160).repartition(8).mapInPandas(
+        gen,
+        schema="media_id bigint, width int, height int, r int, g int, "
+               "b int, uniform boolean")
+
+
 def _jpeg_textured_spec(i: int):
     """Deterministic textured-JPEG spec for driver row i:
     (tiles_x, tiles_y, row-major tile colors, restart_interval)."""
@@ -2472,6 +2542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _q_bpe_encode,
         "hybrid_rrf_topk": _q_hybrid_rrf,
         "multimodal_gif_composite": _q_gif_composite,
+        "multimodal_jpeg_cmyk": _q_jpeg_cmyk,
     }
 
 
@@ -3998,6 +4069,18 @@ def oracle_sql() -> dict[str, str]:
     )
     q["multimodal_jpeg_solid"] = (
         f"SELECT * FROM (VALUES {jvals}) t(media_id, width, height, pixel_value)"
+    )
+    crows2 = []
+    for i in range(160):
+        w, h, (r, g, b) = _jpeg_cmyk_expected(i)
+        crows2.append((i, w, h, r, g, b))
+    cvals2 = ", ".join(
+        f"(CAST({m} AS BIGINT), {w}, {h}, {r}, {g}, {b}, TRUE)"
+        for m, w, h, r, g, b in crows2
+    )
+    q["multimodal_jpeg_cmyk"] = (
+        f"SELECT * FROM (VALUES {cvals2}) "
+        "t(media_id, width, height, r, g, b, uniform)"
     )
     # Textured 4:2:0 color JPEG: expected per-tile colors are analytic
     # (DC-only closed form — see _jpeg_tile_analytic); every decoded

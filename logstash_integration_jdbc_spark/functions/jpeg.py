@@ -5,11 +5,12 @@ entropy decoding with byte-stuffing and restart markers, dequantization,
 numpy matrix IDCT, chroma upsampling, and JFIF YCbCr→RGB. Scope is
 8-bit huffman DCT — baseline sequential (SOF0/SOF1) AND progressive
 (SOF2: DC/AC spectral-selection scans, successive-approximation
-refinement, EOB runs, per-scan table redefinition) — with 1 (grayscale)
-or 3 (YCbCr) components and sampling factors 1 or 2, i.e. the shapes
-real-world JPEGs use. 12-bit, arithmetic coding, lossless/hierarchical,
-and CMYK raise ``NotImplementedError`` naming Pillow, matching the
-multimodal kernels' contract.
+refinement, EOB runs, per-scan table redefinition) — with 1
+(grayscale), 3 (YCbCr / Adobe RGB), or 4 (CMYK / YCCK via the APP14
+Adobe transform) components and sampling factors 1 or 2, i.e. the
+shapes real-world JPEGs use. 12-bit, arithmetic coding, and
+lossless/hierarchical raise ``NotImplementedError`` naming Pillow,
+matching the multimodal kernels' contract.
 
 The encoder exists so tests can build REAL JPEG bytes without any
 library: 4:4:4 baseline with the JPEG Annex K example quantization and
@@ -280,10 +281,16 @@ def _extend(v: int, t: int) -> int:
 
 
 def parse_jpeg(payload: bytes):
-    """Decode a baseline JFIF/EXIF JPEG → (width, height, RGB (h, w, 3)).
+    """Decode a baseline JFIF/EXIF/Adobe JPEG → (width, height,
+    RGB (h, w, 3)).
 
-    Grayscale expands to RGB. Raises ``NotImplementedError`` (naming
-    Pillow) for progressive/12-bit/arithmetic/CMYK inputs and
+    Grayscale expands to RGB. 4-component CMYK/YCCK streams convert
+    via the APP14 Adobe transform (libjpeg conventions: with an Adobe
+    marker samples are stored inverted, 255 = no ink; without one they
+    are taken as plain ink coverage), then RGB = S·S_k/255 per channel
+    — the standard non-ICC conversion. An Adobe transform of 0 with
+    three components is passthrough RGB. Raises ``NotImplementedError``
+    (naming Pillow) for 12-bit/arithmetic/lossless inputs and
     ``ValueError`` for corrupt streams.
     """
     if payload[:2] != b"\xFF\xD8":
@@ -295,6 +302,7 @@ def parse_jpeg(payload: bytes):
     restart_interval = 0
     pos = 2
     scans: list[dict] = []
+    adobe_transform = None
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
@@ -322,8 +330,8 @@ def parse_jpeg(payload: bytes):
             prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG needs Pillow")
-            if nc not in (1, 3):
-                raise NotImplementedError(f"{nc}-component JPEG (CMYK?) needs Pillow")
+            if nc not in (1, 3, 4):
+                raise NotImplementedError(f"{nc}-component JPEG needs Pillow")
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
@@ -347,6 +355,8 @@ def parse_jpeg(payload: bytes):
                 i += 17 + nv
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xEE and body[:5] == b"Adobe":  # APP14
+            adobe_transform = body[11]
         elif marker == 0xDA:  # SOS
             ns = body[0]
             sel = {}
@@ -380,6 +390,7 @@ def parse_jpeg(payload: bytes):
         pos += seglen
     if frame is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
+    frame["adobe"] = adobe_transform
     if frame.get("progressive"):
         return _finish_jpeg(frame, _decode_progressive(frame, scans), qt)
 
@@ -467,6 +478,29 @@ def _finish_jpeg(frame, blocks, qt):
         # round BEFORE the uint8 cast — astype truncates (21.999 → 21)
         y = np.clip(np.round(out_planes[0]), 0, 255)
         return w, h, np.repeat(y[:, :, None], 3, axis=2).astype(np.uint8)
+    adobe = frame.get("adobe")
+    if len(out_planes) == 4:
+        if adobe == 2:  # YCCK: undo the YCbCr transform on the CMY trio
+            y, cb, cr, k = out_planes
+            sc = y + 1.402 * (cr - 128.0)
+            sm = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            sy = y + 1.772 * (cb - 128.0)
+            sk = k
+        else:
+            sc, sm, sy, sk = out_planes
+            if adobe is None:
+                # bare CMYK stores ink coverage; Adobe stores inverted
+                sc, sm, sy, sk = (255.0 - sc, 255.0 - sm,
+                                  255.0 - sy, 255.0 - sk)
+        sc = np.clip(sc, 0, 255)
+        sm = np.clip(sm, 0, 255)
+        sy = np.clip(sy, 0, 255)
+        sk = np.clip(sk, 0, 255)
+        rgb = np.stack([sc * sk, sm * sk, sy * sk], axis=2) / 255.0
+        return w, h, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    if adobe == 0:  # Adobe transform 0 with three components: plain RGB
+        rgb = np.stack(out_planes, axis=2)
+        return w, h, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     y, cb, cr = out_planes
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
@@ -774,20 +808,35 @@ def _encode_block(bw: _BitWriter, coef_zz: np.ndarray, pred: int,
 
 
 def encode_jpeg(px, quality: int = 90, restart_interval: int = 0,
-                subsample: bool = False) -> bytes:
+                subsample: bool = False,
+                adobe_transform: int | None = None) -> bytes:
     """Minimal valid baseline JFIF from an (h, w, 3) RGB array (4:4:4,
     or 4:2:0 with ``subsample=True`` — the dominant real-world layout:
     16×16 MCUs of four Y blocks + one averaged-2×2 Cb + Cr block) or an
     (h, w) grayscale array (single component). With
     ``restart_interval`` > 0, emits DRI + RSTn markers every that many
     MCUs (predictors reset, writer byte-aligned) — exercising the
-    decoder's restart path with spec-true streams."""
+    decoder's restart path with spec-true streams.
+
+    An (h, w, 4) array is taken as STORED 4-component samples
+    (Adobe-inverted when an APP14 marker is emitted): with
+    ``adobe_transform`` 0 the four planes go straight through (CMYK),
+    with 2 the first three are run through the YCbCr forward transform
+    (YCCK); ``None`` emits no APP14 (bare CMYK, samples = ink)."""
     px = np.ascontiguousarray(px, dtype=np.float64)
     gray = px.ndim == 2
-    if not gray and px.shape[2] != 3:
-        raise ValueError("encode_jpeg expects (h, w, 3) RGB or (h, w) gray")
-    if gray and subsample:
-        raise ValueError("subsample only applies to color input")
+    four = not gray and px.shape[2] == 4
+    if not gray and px.shape[2] not in (3, 4):
+        raise ValueError(
+            "encode_jpeg expects (h, w, 3) RGB, (h, w, 4) CMYK, or "
+            "(h, w) gray")
+    if subsample and (gray or four):
+        raise ValueError("subsample only applies to 3-component input")
+    if four and adobe_transform not in (None, 0, 2):
+        raise ValueError("adobe_transform must be None, 0, or 2")
+    if adobe_transform is not None and not four:
+        raise ValueError("adobe_transform only applies to 4-component "
+                         "input")
     h, w = px.shape[:2]
     qy = _quality_scale(QT_LUMA, quality)
     qc = _quality_scale(QT_CHROMA, quality)
@@ -806,6 +855,20 @@ def encode_jpeg(px, quality: int = 90, restart_interval: int = 0,
     if gray:
         comps = [{"plane": pad(px), "q": qy, "dc": dc_l, "ac": ac_l,
                   "h": 1, "v": 1}]
+    elif four:
+        p0, p1, p2, p3 = (px[:, :, i] for i in range(4))
+        if adobe_transform == 2:  # YCCK: forward-transform the CMY trio
+            y = 0.299 * p0 + 0.587 * p1 + 0.114 * p2
+            cb = -0.168736 * p0 - 0.331264 * p1 + 0.5 * p2 + 128.0
+            cr = 0.5 * p0 - 0.418688 * p1 - 0.081312 * p2 + 128.0
+            planes = [y, cb, cr, p3]
+            tabs = [(qy, dc_l, ac_l), (qc, dc_c, ac_c),
+                    (qc, dc_c, ac_c), (qy, dc_l, ac_l)]
+        else:
+            planes = [p0, p1, p2, p3]
+            tabs = [(qy, dc_l, ac_l)] * 4
+        comps = [{"plane": pad(p), "q": q, "dc": dc, "ac": ac,
+                  "h": 1, "v": 1} for p, (q, dc, ac) in zip(planes, tabs)]
     else:
         r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
@@ -866,13 +929,22 @@ def encode_jpeg(px, quality: int = 90, restart_interval: int = 0,
         return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
 
     out = bytearray(b"\xFF\xD8")
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if four:
+        if adobe_transform is not None:
+            out += seg(0xEE, b"Adobe" + struct.pack(
+                ">HHHB", 100, 0, 0, adobe_transform))
+    else:
+        out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     # quant tables are emitted in zigzag order per spec
     out += seg(0xDB, bytes([0]) + bytes(int(v) for v in qy[ZIGZAG]))
     if not gray:
         out += seg(0xDB, bytes([1]) + bytes(int(v) for v in qc[ZIGZAG]))
     if gray:
         out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    elif four:
+        tq4 = [0, 1, 1, 0] if adobe_transform == 2 else [0, 0, 0, 0]
+        sof = b"".join(bytes([cid + 1, 0x11, tq4[cid]]) for cid in range(4))
+        out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 4) + sof)
     else:
         y_hv = 0x22 if subsample else 0x11
         out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 3)
@@ -886,6 +958,10 @@ def encode_jpeg(px, quality: int = 90, restart_interval: int = 0,
         out += seg(0xDD, struct.pack(">H", restart_interval))
     if gray:
         out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    elif four:
+        tt4 = [0x00, 0x11, 0x11, 0x00] if adobe_transform == 2 else [0x00] * 4
+        sos = b"".join(bytes([cid + 1, tt4[cid]]) for cid in range(4))
+        out += seg(0xDA, bytes([4]) + sos + bytes([0, 63, 0]))
     else:
         out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     out += entropy

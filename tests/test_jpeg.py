@@ -252,3 +252,112 @@ def test_420_with_restart_markers():
     rst = parse_jpeg(encode_jpeg(px, quality=90, subsample=True,
                                  restart_interval=2))[2]
     assert np.array_equal(plain, rst)
+
+
+# ---------------------------------------------------------------------------
+# 4-component CMYK / YCCK (APP14 Adobe transform)
+# ---------------------------------------------------------------------------
+
+def _cmyk_expected_rgb(stored):
+    """Closed-form non-ICC conversion from Adobe-inverted stored
+    samples: RGB = S_channel * S_k / 255."""
+    s = np.asarray(stored, np.float64)
+    return np.clip(np.round(
+        np.stack([s[..., 0] * s[..., 3], s[..., 1] * s[..., 3],
+                  s[..., 2] * s[..., 3]], axis=-1) / 255.0), 0, 255
+    ).astype(np.uint8)
+
+
+def test_cmyk_transform0_solid_exact():
+    from logstash_integration_jdbc_spark.functions.jpeg import (
+        encode_jpeg,
+        parse_jpeg,
+    )
+
+    stored = np.zeros((16, 24, 4), np.uint8)
+    stored[..., :] = (200, 180, 160, 220)
+    blob = encode_jpeg(stored, quality=100, adobe_transform=0)
+    w, h, rgb = parse_jpeg(blob)
+    assert (w, h) == (24, 16)
+    # solid planes at quality 100 decode exactly → closed-form RGB
+    assert np.array_equal(rgb, _cmyk_expected_rgb(stored))
+
+
+def test_ycck_transform2_solid_close():
+    from logstash_integration_jdbc_spark.functions.jpeg import (
+        encode_jpeg,
+        parse_jpeg,
+    )
+
+    stored = np.zeros((8, 8, 4), np.uint8)
+    stored[..., :] = (120, 50, 240, 200)
+    blob = encode_jpeg(stored, quality=100, adobe_transform=2)
+    _w, _h, rgb = parse_jpeg(blob)
+    exp = _cmyk_expected_rgb(stored)
+    # forward+inverse YCbCr round-trip costs ≤2 counts per channel
+    assert int(np.max(np.abs(rgb.astype(int) - exp.astype(int)))) <= 2
+
+
+def test_bare_cmyk_no_app14_is_ink_coverage():
+    from logstash_integration_jdbc_spark.functions.jpeg import (
+        encode_jpeg,
+        parse_jpeg,
+    )
+
+    ink = np.zeros((8, 8, 4), np.uint8)
+    ink[..., :] = (55, 75, 95, 35)  # stored = ink when no Adobe marker
+    blob = encode_jpeg(ink, quality=100, adobe_transform=None)
+    _w, _h, rgb = parse_jpeg(blob)
+    inverted = 255 - ink
+    assert np.array_equal(rgb, _cmyk_expected_rgb(inverted))
+
+
+def test_cmyk_gradient_with_restarts_bounded_error():
+    from logstash_integration_jdbc_spark.functions.jpeg import (
+        encode_jpeg,
+        parse_jpeg,
+    )
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    stored = np.stack([
+        (yy * 5 + 30) % 256, (xx * 4 + 80) % 256,
+        ((yy + xx) * 3 + 60) % 256, np.full_like(yy, 210),
+    ], axis=-1).astype(np.uint8)
+    blob = encode_jpeg(stored, quality=95, adobe_transform=0,
+                       restart_interval=3)
+    w, h, rgb = parse_jpeg(blob)
+    assert (w, h) == (32, 24)
+    exp = _cmyk_expected_rgb(stored)
+    assert float(np.mean(np.abs(rgb.astype(int) - exp.astype(int)))) < 6.0
+
+
+def test_adobe_rgb_transform0_three_planes_passthrough():
+    from logstash_integration_jdbc_spark.functions.jpeg import (
+        parse_jpeg,
+    )
+    import struct as _st
+
+    # hand-build: take a normal encode and splice an APP14 transform=0
+    from logstash_integration_jdbc_spark.functions.jpeg import encode_jpeg
+
+    rgb_in = np.zeros((8, 8, 3), np.uint8)
+    rgb_in[..., :] = (90, 140, 200)
+    blob = bytearray(encode_jpeg(rgb_in, quality=100))
+    app14 = _st.pack(">BBH", 0xFF, 0xEE, 14) + b"Adobe" + _st.pack(
+        ">HHHB", 100, 0, 0, 0)
+    blob = blob[:2] + app14 + blob[2:]
+    _w, _h, rgb = parse_jpeg(bytes(blob))
+    # planes now passthrough: decoded values are the stored YCbCr trio
+    y = 0.299 * 90 + 0.587 * 140 + 0.114 * 200
+    assert abs(int(rgb[0, 0, 0]) - round(y)) <= 1
+
+
+def test_encode_jpeg_cmyk_validation():
+    from logstash_integration_jdbc_spark.functions.jpeg import encode_jpeg
+
+    with pytest.raises(ValueError, match="adobe_transform"):
+        encode_jpeg(np.zeros((8, 8, 4), np.uint8), adobe_transform=1)
+    with pytest.raises(ValueError, match="4-component"):
+        encode_jpeg(np.zeros((8, 8, 3), np.uint8), adobe_transform=0)
+    with pytest.raises(ValueError, match="subsample"):
+        encode_jpeg(np.zeros((8, 8, 4), np.uint8), subsample=True)
