@@ -1967,6 +1967,24 @@ def _q_mp4_meta(spark, sf_dir):
         F.round("track_s", 6).alias("track6"), "width", "height")
 
 
+def _q_mp4_fragmented(spark, sf_dir):
+    # CMAF/DASH fragmented MP4: sample totals aggregated out of every
+    # moof's traf→tfhd/trun tables with tfhd→trex default fallback;
+    # oracle replays build_fragmented_mp4's generator formula.
+    from logstash_integration_jdbc_spark.operators.multimodal import (
+        extract_video_metadata,
+        gen_fragmented_mp4_media,
+    )
+
+    _pin(spark)
+    meta = extract_video_metadata(gen_fragmented_mp4_media(spark, n_rows=50))
+    return meta.select(
+        "media_id", "brand", "fragmented", "n_fragments",
+        "n_samples", "total_bytes",
+        F.round("track_s", 6).alias("track6"),
+        F.round("movie_s", 6).alias("movie6"))
+
+
 def _q_media_stats(spark, sf_dir):
     # generated binary media table (no testdata media exists); the oracle
     # is the expected aggregate computed independently in pure Python
@@ -2543,6 +2561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_topk": _q_hybrid_rrf,
         "multimodal_gif_composite": _q_gif_composite,
         "multimodal_jpeg_cmyk": _q_jpeg_cmyk,
+        "multimodal_mp4_fragmented": _q_mp4_fragmented,
     }
 
 
@@ -3839,6 +3858,34 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT * FROM (VALUES {mp4vals}) "
         "t(media_id, brand, movie6, track_id, handler, codec, "
         "n_samples, total_bytes, track6, width, height)"
+    )
+    fmp4rows = []
+    for i in range(50):
+        hh = _xx64(f"fmp4-{i}-42".encode())
+        nf_ = 2 + hh % 4
+        spf = 4 + (hh >> 8) % 5
+        tb, td = 0, 0
+        for fi in range(nf_):
+            for j in range(spf):
+                if fi == 0:
+                    tb += 64 + ((hh >> ((fi * 7 + j) % 48)) & 0x7F)
+                    td += 30 + ((hh >> (j % 32)) & 0x1F)
+                elif fi == 1:
+                    tb += 80 + ((hh >> ((j * 5) % 40)) & 0x3F)
+                    td += 50
+                else:
+                    tb += 100
+                    td += 40
+        fmp4rows.append((i, nf_, nf_ * spf, tb, round(td / 1000, 6)))
+    fvals = ", ".join(
+        f"(CAST({m} AS BIGINT), 'cmfc', TRUE, {nf_}, {ns}, "
+        f"CAST({tb} AS BIGINT), CAST({d!r} AS DOUBLE), "
+        f"CAST({d!r} AS DOUBLE))"
+        for m, nf_, ns, tb, d in fmp4rows)
+    q["multimodal_mp4_fragmented"] = (
+        f"SELECT * FROM (VALUES {fvals}) "
+        "t(media_id, brand, fragmented, n_fragments, n_samples, "
+        "total_bytes, track6, movie6)"
     )
     # frame sample: expected (media_id, frame_idx, frame_len) recomputed
     # in pure Python (header + w·h·3 bytes per PPM frame).

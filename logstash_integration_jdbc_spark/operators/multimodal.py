@@ -968,7 +968,8 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
 VIDEO_META_SCHEMA = (
     "media_id bigint, brand string, movie_s double, track_id int, "
     "handler string, codec string, n_samples int, total_bytes bigint, "
-    "track_s double, width int, height int"
+    "track_s double, width int, height int, fragmented boolean, "
+    "n_fragments int"
 )
 
 
@@ -982,6 +983,27 @@ def gen_mp4_media(spark, n_rows: int = 50, seed: int = 42) -> DataFrame:
             yield pd.DataFrame({
                 "media_id": pdf["id"],
                 "payload": [build_mp4(int(i), seed) for i in pdf["id"]],
+            })
+
+    return (spark.range(0, n_rows, numPartitions=8)
+            .mapInPandas(run, schema="media_id bigint, payload binary"))
+
+
+def gen_fragmented_mp4_media(spark, n_rows: int = 50,
+                             seed: int = 42) -> DataFrame:
+    """Deterministic fragmented-MP4 fixture table (media_id, payload)
+    — the CMAF sibling of ``gen_mp4_media``
+    (functions/mp4.build_fragmented_mp4)."""
+    from logstash_integration_jdbc_spark.functions.mp4 import (
+        build_fragmented_mp4,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["id"],
+                "payload": [build_fragmented_mp4(int(i), seed)
+                            for i in pdf["id"]],
             })
 
     return (spark.range(0, n_rows, numPartitions=8)
@@ -1003,7 +1025,8 @@ def extract_video_metadata(df: DataFrame) -> DataFrame:
             rows = {k: [] for k in ("media_id", "brand", "movie_s",
                                     "track_id", "handler", "codec",
                                     "n_samples", "total_bytes", "track_s",
-                                    "width", "height")}
+                                    "width", "height", "fragmented",
+                                    "n_fragments")}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 meta = parse_mp4(bytes(payload))
                 for t in meta["tracks"]:
@@ -1018,6 +1041,8 @@ def extract_video_metadata(df: DataFrame) -> DataFrame:
                     rows["track_s"].append(t["duration_s"])
                     rows["width"].append(t["width"])
                     rows["height"].append(t["height"])
+                    rows["fragmented"].append(meta["fragmented"])
+                    rows["n_fragments"].append(meta["n_fragments"])
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=VIDEO_META_SCHEMA)

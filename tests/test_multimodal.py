@@ -913,7 +913,8 @@ def test_mp4_errors():
         parse_mp4(b"\x00\x00\x00\x08free")
     with pt.raises(ValueError, match="moov"):
         parse_mp4(_box(b"ftyp", b"isom\x00\x00\x02\x00"))
-    with pt.raises(NotImplementedError, match="fragmented"):
+    # a moof with no moov is malformed, not a declared boundary
+    with pt.raises(ValueError, match="moov"):
         parse_mp4(_box(b"ftyp", b"isom\x00\x00\x02\x00") + _box(b"moof", b""))
     with pt.raises(ValueError, match="bad box size"):
         parse_mp4(b"\x00\x00\x00\x03xxxx")
@@ -947,3 +948,70 @@ def test_video_metadata_operator(spark):
         assert r.n_samples >= 8 and r.total_bytes > 0
         assert abs(r.movie_s - r.track_s) < 1e-9
         assert r.width % 16 == 0 and r.height % 16 == 0
+
+
+def test_fragmented_mp4_aggregates():
+    from logstash_integration_jdbc_spark.functions.mp4 import (
+        build_fragmented_mp4,
+        parse_mp4,
+    )
+    from logstash_integration_jdbc_spark.functions.xxhash import xxh64
+
+    b = build_fragmented_mp4(3, 42)
+    m = parse_mp4(b)
+    h = xxh64(b"fmp4-3-42")
+    nf = 2 + h % 4
+    spf = 4 + (h >> 8) % 5
+    assert m["brand"] == "cmfc"
+    assert m["fragmented"] is True
+    assert m["n_fragments"] == nf
+    t = m["tracks"][0]
+    assert t["n_samples"] == nf * spf
+
+    # independent replay of the generator formula (sizes + durations)
+    exp_bytes, exp_dur = 0, 0
+    for fi in range(nf):
+        for i in range(spf):
+            if fi == 0:
+                exp_bytes += 64 + ((h >> ((fi * 7 + i) % 48)) & 0x7F)
+                exp_dur += 30 + ((h >> (i % 32)) & 0x1F)
+            elif fi == 1:
+                exp_bytes += 80 + ((h >> ((i * 5) % 40)) & 0x3F)
+                exp_dur += 50
+            else:
+                exp_bytes += 100
+                exp_dur += 40
+    assert t["total_sample_bytes"] == exp_bytes
+    assert abs(t["duration_s"] - exp_dur / 1000) < 1e-9
+    # mehd drives the movie duration
+    assert abs(m["duration_s"] - exp_dur / 1000) < 1e-9
+
+
+def test_fragmented_mp4_default_paths_differ():
+    # the three fragments exercise per-sample / tfhd-default /
+    # trex-default paths; forcing one fragment count isolates each
+    from logstash_integration_jdbc_spark.functions.mp4 import (
+        build_fragmented_mp4,
+        parse_mp4,
+    )
+
+    one = parse_mp4(build_fragmented_mp4(9, 7, n_fragments=1,
+                                         samples_per_fragment=4))
+    assert one["tracks"][0]["n_samples"] == 4
+    three = parse_mp4(build_fragmented_mp4(9, 7, n_fragments=3,
+                                           samples_per_fragment=4))
+    # trex-default fragment contributes exactly 4 * 100 bytes / 4 * 40ms
+    assert (three["tracks"][0]["total_sample_bytes"]
+            - parse_mp4(build_fragmented_mp4(9, 7, n_fragments=2,
+                                             samples_per_fragment=4)
+                        )["tracks"][0]["total_sample_bytes"]) == 400
+
+
+def test_plain_mp4_reports_unfragmented():
+    from logstash_integration_jdbc_spark.functions.mp4 import (
+        build_mp4,
+        parse_mp4,
+    )
+
+    m = parse_mp4(build_mp4(1, 42))
+    assert m["fragmented"] is False and m["n_fragments"] == 0
