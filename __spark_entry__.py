@@ -1225,6 +1225,46 @@ def _q_elapsed_pairs(spark, sf_dir):
         "status")
 
 
+def _q_streaming_pairs(spark, sf_dir):
+    # §2.7: stream-stream interval join (the elapsed filter on an
+    # unbounded stream) — click and purchase events streamed from two
+    # sources, paired per user within 1 hour; the range predicate is
+    # what bounds the join state. Oracle: the same interval join as
+    # plain SQL over the events view.
+    import os as _os
+    import tempfile as _tf
+
+    from logstash_integration_jdbc_spark.streaming.stream import (
+        streaming_pair_events,
+    )
+
+    _pin(spark)
+    ev = _t(spark, sf_dir, "events")
+    base = _tf.mkdtemp(prefix="spairs-q-")
+    sdir, edir = _os.path.join(base, "s"), _os.path.join(base, "e")
+    ev.filter(F.col("event_type") == "click").select("user_id", "ts") \
+        .write.mode("overwrite").parquet(sdir)
+    ev.filter(F.col("event_type") == "purchase").select("user_id", "ts") \
+        .write.mode("overwrite").parquet(edir)
+    schema = "user_id bigint, ts timestamp"
+    ss = spark.readStream.schema(schema).parquet(sdir)
+    es = spark.readStream.schema(schema).parquet(edir)
+    out = streaming_pair_events(ss, es, key_cols=("user_id",),
+                                within="1 hour",
+                                watermark_delay="1 hour")
+    q = (out.writeStream.outputMode("append").format("parquet")
+         .option("path", _os.path.join(base, "out"))
+         .option("checkpointLocation", _os.path.join(base, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.read.parquet(_os.path.join(base, "out"))
+    return got.select(
+        "user_id",
+        F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("start_s"),
+        F.date_format("end_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("end_s"),
+        F.round("elapsed_s", 6).alias("elapsed6"))
+
+
 def _q_mutate_fields(spark, sf_dir):
     # logstash mutate filter: rename/case/gsub/copy/convert/replace
     # (sprintf interpolation)/remove — one codegen'd projection
@@ -2562,6 +2602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_gif_composite": _q_gif_composite,
         "multimodal_jpeg_cmyk": _q_jpeg_cmyk,
         "multimodal_mp4_fragmented": _q_mp4_fragmented,
+        "streaming_pairs": _q_streaming_pairs,
     }
 
 
@@ -4904,6 +4945,17 @@ def oracle_sql() -> dict[str, str]:
                    ((instr('0123456789abcdef', substr(h, 17, 1)) - 1) % 4) + 1
                ] || substr(h, 18, 3) || '-' || substr(h, 21, 12) AS uuid
         FROM h
+    """
+    q["streaming_pairs"] = """
+        SELECT s.user_id,
+               strftime(s.ts, '%Y-%m-%d %H:%M:%S.%f') AS start_s,
+               strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS end_s,
+               round(date_diff('microsecond', s.ts, e.ts) / 1000000.0, 6)
+                   AS elapsed6
+        FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') s
+        JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') e
+          ON s.user_id = e.user_id
+         AND e.ts >= s.ts AND e.ts <= s.ts + INTERVAL 1 HOUR
     """
     q["clone_fanout"] = """
         WITH e AS (SELECT event_id FROM events WHERE event_id < 2000)
