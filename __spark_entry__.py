@@ -1769,6 +1769,50 @@ def _jpeg_cmyk_expected(i: int):
     return w, h, rgb
 
 
+def _q_jpeg_12bit(spark, sf_dir):
+    # 12-bit extended-sequential (SOF1) decode: EVEN stored values at
+    # quality 100 (quant 16) reconstruct exactly — 8*(v-2048)/16 is an
+    # integer — so expected 8-bit output is closed-form round(v*255/4095).
+    import numpy as np
+    import pandas as pd
+
+    from logstash_integration_jdbc_spark.functions.jpeg import (
+        encode_jpeg,
+        parse_jpeg,
+    )
+
+    _pin(spark)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                w, h, v = _jpeg_12bit_spec(int(i))
+                blob = encode_jpeg(np.full((h, w), v, np.int32),
+                                   quality=100, precision=12)
+                dw, dh, rgb = parse_jpeg(blob)
+                rows.append({"media_id": int(i), "width": dw, "height": dh,
+                             "pixel_value": int(rgb[0, 0, 0]),
+                             "uniform": bool((rgb == rgb[0, 0, 0]).all())})
+            yield pd.DataFrame(rows)
+
+    return spark.range(160).repartition(8).mapInPandas(
+        gen,
+        schema="media_id bigint, width int, height int, pixel_value int, "
+               "uniform boolean")
+
+
+def _jpeg_12bit_spec(i: int):
+    """(w, h, even 12-bit value) for driver row i."""
+    import hashlib as _h
+
+    d = _h.sha256(f"jpeg12:{i}".encode()).digest()
+    w = 8 + (i % 4) * 8
+    h = 8 + (i % 3) * 8
+    v = ((d[0] << 8 | d[1]) % 4096) & ~1  # force even → exact decode
+    return w, h, v
+
+
 def _q_jpeg_cmyk(spark, sf_dir):
     # 4-component CMYK decode (APP14 Adobe-inverted and bare-ink
     # forms): solid planes at quality 100 reconstruct exactly, so the
@@ -2603,6 +2647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg_cmyk": _q_jpeg_cmyk,
         "multimodal_mp4_fragmented": _q_mp4_fragmented,
         "streaming_pairs": _q_streaming_pairs,
+        "multimodal_jpeg_12bit": _q_jpeg_12bit,
     }
 
 
@@ -4169,6 +4214,19 @@ def oracle_sql() -> dict[str, str]:
     q["multimodal_jpeg_cmyk"] = (
         f"SELECT * FROM (VALUES {cvals2}) "
         "t(media_id, width, height, r, g, b, uniform)"
+    )
+    jrows = []
+    for i in range(160):
+        w, h, v = _jpeg_12bit_spec(i)
+        import numpy as _np12
+        pv = int(_np12.round(_np12.float64(v) * 255.0 / 4095.0))
+        jrows.append((i, w, h, pv))
+    jvals = ", ".join(
+        f"(CAST({m} AS BIGINT), {w}, {h}, {p}, TRUE)"
+        for m, w, h, p in jrows)
+    q["multimodal_jpeg_12bit"] = (
+        f"SELECT * FROM (VALUES {jvals}) "
+        "t(media_id, width, height, pixel_value, uniform)"
     )
     # Textured 4:2:0 color JPEG: expected per-tile colors are analytic
     # (DC-only closed form — see _jpeg_tile_analytic); every decoded

@@ -3,14 +3,15 @@
 Real format, real decoder, no Pillow: a marker-walking parser, huffman
 entropy decoding with byte-stuffing and restart markers, dequantization,
 numpy matrix IDCT, chroma upsampling, and JFIF YCbCr→RGB. Scope is
-8-bit huffman DCT — baseline sequential (SOF0/SOF1) AND progressive
-(SOF2: DC/AC spectral-selection scans, successive-approximation
-refinement, EOB runs, per-scan table redefinition) — with 1
-(grayscale), 3 (YCbCr / Adobe RGB), or 4 (CMYK / YCCK via the APP14
-Adobe transform) components and sampling factors 1 or 2, i.e. the
-shapes real-world JPEGs use. 12-bit, arithmetic coding, and
-lossless/hierarchical raise ``NotImplementedError`` naming Pillow,
-matching the multimodal kernels' contract.
+huffman DCT — baseline/extended sequential (SOF0/SOF1, 8- AND 12-bit
+precision with 16-bit quant tables) AND progressive (SOF2: DC/AC
+spectral-selection scans, successive-approximation refinement, EOB
+runs, per-scan table redefinition) — with 1 (grayscale), 3 (YCbCr /
+Adobe RGB), or 4 (CMYK / YCCK via the APP14 Adobe transform)
+components and sampling factors 1 or 2, i.e. the shapes real-world
+JPEGs use. Arithmetic coding and lossless/hierarchical raise
+``NotImplementedError`` naming Pillow, matching the multimodal
+kernels' contract.
 
 The encoder exists so tests can build REAL JPEG bytes without any
 library: 4:4:4 baseline with the JPEG Annex K example quantization and
@@ -322,14 +323,21 @@ def parse_jpeg(payload: bytes):
             i = 0
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables need Pillow")
-                qt[tq] = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8).astype(np.int64)
-                i += 65
+                if pq:  # 16-bit entries (12-bit-precision streams)
+                    qt[tq] = np.frombuffer(
+                        body[i + 1 : i + 129], dtype=">u2").astype(np.int64)
+                    i += 129
+                else:
+                    qt[tq] = np.frombuffer(
+                        body[i + 1 : i + 65], dtype=np.uint8).astype(np.int64)
+                    i += 65
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
-            if prec != 8:
+            if prec not in (8, 12):
                 raise NotImplementedError(f"{prec}-bit JPEG needs Pillow")
+            if prec == 12 and marker == 0xC0:
+                raise ValueError("baseline SOF0 is 8-bit only; 12-bit "
+                                 "requires extended sequential (SOF1)")
             if nc not in (1, 3, 4):
                 raise NotImplementedError(f"{nc}-component JPEG needs Pillow")
             comps = []
@@ -340,7 +348,7 @@ def parse_jpeg(payload: bytes):
                     raise NotImplementedError("sampling factors >2 need Pillow")
                 comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
             frame = {"w": w, "h": h, "comps": comps,
-                     "progressive": marker == 0xC2}
+                     "progressive": marker == 0xC2, "prec": prec}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 "lossless/hierarchical/arithmetic JPEG needs Pillow")
@@ -461,13 +469,19 @@ def _finish_jpeg(frame, blocks, qt):
     vmax = max(c["v"] for c in comps)
     mcus_x, mcus_y = _mcu_grid(frame)
     w, h = frame["w"], frame["h"]
+    # 12-bit streams center at 2048 and scale down to 8-bit output;
+    # for 8-bit, center=128 and scale=1.0 exactly (no behavior change)
+    prec = frame.get("prec", 8)
+    center = float(1 << (prec - 1))
+    maxv = float((1 << prec) - 1)
+    scale = 255.0 / maxv
     out_planes = []
     for ci, comp in enumerate(comps):
         bh, bw = mcus_y * comp["v"], mcus_x * comp["h"]
         zz = np.asarray(blocks[ci], dtype=np.int64) * qt[comp["tq"]][None, :]
         nat = np.zeros((zz.shape[0], 64), dtype=np.float64)
         nat[:, ZIGZAG] = zz
-        px = np.einsum("ij,njk,kl->nil", _C.T, nat.reshape(-1, 8, 8), _C) + 128.0
+        px = np.einsum("ij,njk,kl->nil", _C.T, nat.reshape(-1, 8, 8), _C) + center
         p = (px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
              .reshape(bh * 8, bw * 8))
         ry, rx = vmax // comp["v"], hmax // comp["h"]
@@ -476,37 +490,37 @@ def _finish_jpeg(frame, blocks, qt):
         out_planes.append(p[:h, :w])
     if len(out_planes) == 1:
         # round BEFORE the uint8 cast — astype truncates (21.999 → 21)
-        y = np.clip(np.round(out_planes[0]), 0, 255)
+        y = np.clip(np.round(out_planes[0] * scale), 0, 255)
         return w, h, np.repeat(y[:, :, None], 3, axis=2).astype(np.uint8)
     adobe = frame.get("adobe")
     if len(out_planes) == 4:
         if adobe == 2:  # YCCK: undo the YCbCr transform on the CMY trio
             y, cb, cr, k = out_planes
-            sc = y + 1.402 * (cr - 128.0)
-            sm = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-            sy = y + 1.772 * (cb - 128.0)
+            sc = y + 1.402 * (cr - center)
+            sm = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+            sy = y + 1.772 * (cb - center)
             sk = k
         else:
             sc, sm, sy, sk = out_planes
             if adobe is None:
                 # bare CMYK stores ink coverage; Adobe stores inverted
-                sc, sm, sy, sk = (255.0 - sc, 255.0 - sm,
-                                  255.0 - sy, 255.0 - sk)
-        sc = np.clip(sc, 0, 255)
-        sm = np.clip(sm, 0, 255)
-        sy = np.clip(sy, 0, 255)
-        sk = np.clip(sk, 0, 255)
-        rgb = np.stack([sc * sk, sm * sk, sy * sk], axis=2) / 255.0
-        return w, h, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+                sc, sm, sy, sk = (maxv - sc, maxv - sm,
+                                  maxv - sy, maxv - sk)
+        sc = np.clip(sc, 0, maxv)
+        sm = np.clip(sm, 0, maxv)
+        sy = np.clip(sy, 0, maxv)
+        sk = np.clip(sk, 0, maxv)
+        rgb = np.stack([sc * sk, sm * sk, sy * sk], axis=2) / maxv
+        return w, h, np.clip(np.round(rgb * scale), 0, 255).astype(np.uint8)
     if adobe == 0:  # Adobe transform 0 with three components: plain RGB
         rgb = np.stack(out_planes, axis=2)
-        return w, h, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        return w, h, np.clip(np.round(rgb * scale), 0, 255).astype(np.uint8)
     y, cb, cr = out_planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
+    r = y + 1.402 * (cr - center)
+    g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+    b = y + 1.772 * (cb - center)
     rgb = np.stack([r, g, b], axis=2)
-    return w, h, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return w, h, np.clip(np.round(rgb * scale), 0, 255).astype(np.uint8)
 
 
 def _decode_progressive(frame, scans):
@@ -807,9 +821,21 @@ def _encode_block(bw: _BitWriter, coef_zz: np.ndarray, pred: int,
     return dc
 
 
+# 12-bit streams need huffman tables covering DC categories up to 15
+# and the full AC symbol space for s 1..14 — flat canonical tables
+# (16 five-bit DC codes; 240 eight-bit AC codes; no all-ones code)
+_DC12_BITS = [0, 0, 0, 0, 16] + [0] * 11
+_DC12_VALS = list(range(16))
+_AC12_BITS = [0] * 16
+_AC12_BITS[7] = 240
+_AC12_VALS = ([r << 4 for r in range(16)]
+              + [(r << 4) | s for s in range(1, 15) for r in range(16)])
+
+
 def encode_jpeg(px, quality: int = 90, restart_interval: int = 0,
                 subsample: bool = False,
-                adobe_transform: int | None = None) -> bytes:
+                adobe_transform: int | None = None,
+                precision: int = 8) -> bytes:
     """Minimal valid baseline JFIF from an (h, w, 3) RGB array (4:4:4,
     or 4:2:0 with ``subsample=True`` — the dominant real-world layout:
     16×16 MCUs of four Y blocks + one averaged-2×2 Cb + Cr block) or an
@@ -822,7 +848,12 @@ def encode_jpeg(px, quality: int = 90, restart_interval: int = 0,
     (Adobe-inverted when an APP14 marker is emitted): with
     ``adobe_transform`` 0 the four planes go straight through (CMYK),
     with 2 the first three are run through the YCbCr forward transform
-    (YCCK); ``None`` emits no APP14 (bare CMYK, samples = ink)."""
+    (YCCK); ``None`` emits no APP14 (bare CMYK, samples = ink).
+
+    ``precision=12`` emits an extended-sequential (SOF1) 12-bit stream:
+    input samples in 0..4095, 16-bit quantization tables (the 8-bit
+    Annex K tables ×16), flat full-symbol-space huffman tables, level
+    shift 2048 — gray or 4:4:4 RGB only."""
     px = np.ascontiguousarray(px, dtype=np.float64)
     gray = px.ndim == 2
     four = not gray and px.shape[2] == 4
@@ -837,13 +868,24 @@ def encode_jpeg(px, quality: int = 90, restart_interval: int = 0,
     if adobe_transform is not None and not four:
         raise ValueError("adobe_transform only applies to 4-component "
                          "input")
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
+    twelve = precision == 12
+    if twelve and (four or subsample):
+        raise ValueError("12-bit fixtures support gray or 4:4:4 RGB only")
     h, w = px.shape[:2]
     qy = _quality_scale(QT_LUMA, quality)
     qc = _quality_scale(QT_CHROMA, quality)
-    dc_l = _huff_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
-    ac_l = _huff_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
-    dc_c = _huff_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)
-    ac_c = _huff_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    if twelve:
+        qy = qy.astype(np.int64) * 16
+        qc = qc.astype(np.int64) * 16
+        dc_l = dc_c = _huff_encode_table(_DC12_BITS, _DC12_VALS)
+        ac_l = ac_c = _huff_encode_table(_AC12_BITS, _AC12_VALS)
+    else:
+        dc_l = _huff_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
+        ac_l = _huff_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
+        dc_c = _huff_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)
+        ac_c = _huff_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS)
 
     # pad to whole MCUs: 8 px (4:4:4 / gray) or 16 px (4:2:0)
     unit = 16 if subsample else 8
@@ -870,10 +912,11 @@ def encode_jpeg(px, quality: int = 90, restart_interval: int = 0,
         comps = [{"plane": pad(p), "q": q, "dc": dc, "ac": ac,
                   "h": 1, "v": 1} for p, (q, dc, ac) in zip(planes, tabs)]
     else:
+        ctr = 2048.0 if twelve else 128.0
         r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + ctr
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + ctr
         if subsample:
             y_p, cb_p, cr_p = pad(y), pad(cb), pad(cr)
             # 2×2 box average for the chroma planes
@@ -910,7 +953,8 @@ def encode_jpeg(px, quality: int = 90, restart_interval: int = 0,
                     for bx in range(comp["h"]):
                         y0 = (my * comp["v"] + by) * 8
                         x0 = (mx * comp["h"] + bx) * 8
-                        blk = comp["plane"][y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        blk = comp["plane"][y0 : y0 + 8, x0 : x0 + 8] - (
+                            2048.0 if twelve else 128.0)
                         coefs = _C @ blk @ _C.T
                         # zz[i] = coefficient at natural position
                         # ZIGZAG[i]; quantize with the table value there
@@ -936,24 +980,41 @@ def encode_jpeg(px, quality: int = 90, restart_interval: int = 0,
     else:
         out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     # quant tables are emitted in zigzag order per spec
-    out += seg(0xDB, bytes([0]) + bytes(int(v) for v in qy[ZIGZAG]))
-    if not gray:
-        out += seg(0xDB, bytes([1]) + bytes(int(v) for v in qc[ZIGZAG]))
+    if twelve:  # pq=1: 16-bit big-endian entries
+        out += seg(0xDB, bytes([0x10]) + b"".join(
+            int(v).to_bytes(2, "big") for v in qy[ZIGZAG]))
+        if not gray:
+            out += seg(0xDB, bytes([0x11]) + b"".join(
+                int(v).to_bytes(2, "big") for v in qc[ZIGZAG]))
+    else:
+        out += seg(0xDB, bytes([0]) + bytes(int(v) for v in qy[ZIGZAG]))
+        if not gray:
+            out += seg(0xDB, bytes([1]) + bytes(int(v) for v in qc[ZIGZAG]))
+    sof_marker = 0xC1 if twelve else 0xC0
     if gray:
-        out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+        out += seg(sof_marker,
+                   struct.pack(">BHHB", precision, h, w, 1)
+                   + bytes([1, 0x11, 0]))
     elif four:
         tq4 = [0, 1, 1, 0] if adobe_transform == 2 else [0, 0, 0, 0]
         sof = b"".join(bytes([cid + 1, 0x11, tq4[cid]]) for cid in range(4))
         out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 4) + sof)
     else:
         y_hv = 0x22 if subsample else 0x11
-        out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 3)
+        out += seg(sof_marker, struct.pack(">BHHB", precision, h, w, 3)
                    + bytes([1, y_hv, 0, 2, 0x11, 1, 3, 0x11, 1]))
-    out += dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
-    out += dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
-    if not gray:
-        out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
-        out += dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+    if twelve:
+        out += dht(0, 0, _DC12_BITS, _DC12_VALS)
+        out += dht(1, 0, _AC12_BITS, _AC12_VALS)
+        if not gray:
+            out += dht(0, 1, _DC12_BITS, _DC12_VALS)
+            out += dht(1, 1, _AC12_BITS, _AC12_VALS)
+    else:
+        out += dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+        out += dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+        if not gray:
+            out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+            out += dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
     if gray:

@@ -361,3 +361,89 @@ def test_encode_jpeg_cmyk_validation():
         encode_jpeg(np.zeros((8, 8, 3), np.uint8), adobe_transform=0)
     with pytest.raises(ValueError, match="subsample"):
         encode_jpeg(np.zeros((8, 8, 4), np.uint8), subsample=True)
+
+
+# ---------------------------------------------------------------------------
+# 12-bit (extended sequential, SOF1, 16-bit quant tables)
+# ---------------------------------------------------------------------------
+
+def test_12bit_gray_solid_even_exact():
+    from logstash_integration_jdbc_spark.functions.jpeg import (
+        encode_jpeg,
+        parse_jpeg,
+    )
+
+    # even 12-bit values at quality 100 (quant 16) reconstruct exactly:
+    # 8*(v-2048)/16 = v/2 - 1024 is an integer
+    for v in (0, 2, 1000, 2048, 3000, 4094):
+        blob = encode_jpeg(np.full((8, 8), v, np.int32), quality=100,
+                           precision=12)
+        _w, _h, rgb = parse_jpeg(blob)
+        exp = int(np.round(np.float64(v) * 255.0 / 4095.0))
+        assert int(rgb[0, 0, 0]) == exp, v
+        assert (rgb == rgb[0, 0, 0]).all()
+
+
+def test_12bit_rgb_solid_close():
+    from logstash_integration_jdbc_spark.functions.jpeg import (
+        encode_jpeg,
+        parse_jpeg,
+    )
+
+    px = np.zeros((16, 16, 3), np.int32)
+    px[..., :] = (3900, 100, 2000)
+    blob = encode_jpeg(px, quality=100, precision=12)
+    _w, _h, rgb = parse_jpeg(blob)
+    exp = np.round(np.array([3900, 100, 2000]) * 255.0 / 4095.0)
+    assert int(np.max(np.abs(rgb[0, 0].astype(int) - exp.astype(int)))) <= 1
+
+
+def test_12bit_gradient_bounded_error():
+    from logstash_integration_jdbc_spark.functions.jpeg import (
+        encode_jpeg,
+        parse_jpeg,
+    )
+
+    yy, xx = np.mgrid[0:24, 0:24]
+    g = (yy * 150 + xx * 17) % 4096
+    blob = encode_jpeg(g, quality=95, precision=12, restart_interval=2)
+    w, h, rgb = parse_jpeg(blob)
+    assert (w, h) == (24, 24)
+    exp = np.round(g * 255.0 / 4095.0)
+    assert float(np.mean(np.abs(rgb[:, :, 0].astype(float) - exp))) < 4.0
+
+
+def test_12bit_stream_shape():
+    import struct as st
+
+    from logstash_integration_jdbc_spark.functions.jpeg import encode_jpeg
+
+    blob = encode_jpeg(np.full((8, 8), 100, np.int32), quality=90,
+                       precision=12)
+    # SOF1 marker present, SOF0 absent; DQT is the 16-bit (pq=1) form
+    assert b"\xFF\xC1" in blob and b"\xFF\xC0" not in blob
+    i = blob.index(b"\xFF\xDB")
+    seglen = st.unpack_from(">H", blob, i + 2)[0]
+    assert seglen == 2 + 1 + 128  # pq/tq byte + 64 two-byte entries
+    assert blob[i + 4] == 0x10  # pq=1, tq=0
+
+
+def test_12bit_validation_and_sof0_guard():
+    import struct as st
+
+    from logstash_integration_jdbc_spark.functions.jpeg import (
+        encode_jpeg,
+        parse_jpeg,
+    )
+
+    with pytest.raises(ValueError, match="precision"):
+        encode_jpeg(np.zeros((8, 8)), precision=10)
+    with pytest.raises(ValueError, match="12-bit"):
+        encode_jpeg(np.zeros((8, 8, 4)), precision=12, adobe_transform=0)
+    # a 12-bit stream mislabeled SOF0 is rejected as malformed
+    blob = bytearray(encode_jpeg(np.full((8, 8), 100, np.int32),
+                                 quality=90, precision=12))
+    i = bytes(blob).index(b"\xFF\xC1")
+    blob[i + 1] = 0xC0
+    with pytest.raises(ValueError, match="SOF0 is 8-bit"):
+        parse_jpeg(bytes(blob))
