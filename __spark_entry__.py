@@ -1551,6 +1551,25 @@ def _q_fingerprint(spark, sf_dir):
     return fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
 
 
+def _q_ann_quantized_topk(spark, sf_dir):
+    # int8-quantized brute cosine: per-vector symmetric scale, scoring
+    # the tinyint arrays (scale cancels in cosine); oracle replays the
+    # quantization arithmetic in SQL (round = ties-away-from-zero in
+    # BOTH engines: BigDecimal HALF_UP / DuckDB round)
+    from logstash_integration_jdbc_spark.operators.similarity import (
+        cosine_topk_quantized,
+        quantize_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    qemb = quantize_embeddings(emb)
+    queries = (qemb.filter(F.col("vec_id") < 5)
+               .selectExpr("vec_id as query_id", "q_vec"))
+    return cosine_topk_quantized(qemb, queries, k=10).select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cos4"))
+
+
 def _q_ann_cosine_topk(spark, sf_dir):
     from logstash_integration_jdbc_spark.operators.similarity import cosine_topk
 
@@ -2648,6 +2667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_mp4_fragmented": _q_mp4_fragmented,
         "streaming_pairs": _q_streaming_pairs,
         "multimodal_jpeg_12bit": _q_jpeg_12bit,
+        "ann_quantized_topk": _q_ann_quantized_topk,
     }
 
 
@@ -3620,6 +3640,34 @@ def oracle_sql() -> dict[str, str]:
                    / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
                       * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cosine
             FROM e CROSS JOIN qs q WHERE e.vec_id <> q.query_id
+        )
+        SELECT query_id, vec_id, round(cosine, 4) AS cos4 FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, vec_id ASC) AS rn
+            FROM scored
+        ) WHERE rn <= 10
+    """
+    q["ann_quantized_topk"] = """
+        WITH e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), sc AS (
+            SELECT vec_id, v,
+                   CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END AS s
+            FROM (SELECT vec_id, v,
+                         list_max(list_transform(v, x -> abs(x))) AS amax
+                  FROM e)
+        ), qv AS (
+            SELECT vec_id, list_transform(v, x -> round(x / s)) AS q
+            FROM sc
+        ), qs AS (
+            SELECT vec_id AS query_id, q AS qq FROM qv WHERE vec_id < 5
+        ), scored AS (
+            SELECT s.query_id, c.vec_id,
+                   list_sum(list_transform(range(1, len(c.q) + 1), i -> c.q[i] * s.qq[i]))
+                   / (sqrt(list_sum(list_transform(c.q, x -> x * x)))
+                      * sqrt(list_sum(list_transform(s.qq, x -> x * x)))) AS cosine
+            FROM qv c CROSS JOIN qs s WHERE c.vec_id <> s.query_id
         )
         SELECT query_id, vec_id, round(cosine, 4) AS cos4 FROM (
             SELECT *, row_number() OVER (PARTITION BY query_id

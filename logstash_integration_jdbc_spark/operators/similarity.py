@@ -385,3 +385,49 @@ def ivf_topk(
         cosine_expr(F.col(vec_col), F.col("__qvec")).alias("cosine"),
     )
     return _topk_per_query(scored, query_id, corpus_id, k)
+
+
+# -- int8 scalar quantization -------------------------------------------------
+
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
+                        out_col: str = "q_vec",
+                        scale_col: str = "q_scale") -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``q = round(v / scale)``
+    with ``scale = max(|v|) / 127`` — the standard ANN memory path
+    (4× smaller than float32, 8× than float64 in the shuffle and in
+    executor cache; at 10^9 vectors the index fits where floats
+    don't). Pure Catalyst (``transform``/``array_max``); cosine over
+    the quantized vectors needs NO dequantization because the
+    per-vector scale cancels in the ratio.
+
+    An all-zero vector keeps scale 1.0 (quantizes to zeros) rather
+    than dividing by zero.
+    """
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    out = df.withColumn(scale_col, scale.cast("double"))
+    return out.withColumn(
+        out_col,
+        F.transform(v, lambda x: F.round(x / F.col(scale_col))
+                    .cast("tinyint")))
+
+
+def cosine_topk_quantized(corpus_q: DataFrame, queries_q: DataFrame,
+                          k: int = 10, corpus_id: str = "vec_id",
+                          query_id: str = "query_id",
+                          q_col: str = "q_vec") -> DataFrame:
+    """Brute-force cosine top-k over int8-quantized vectors — the same
+    broadcast + two-phase top-k plan as ``cosine_topk``, scoring the
+    tinyint arrays directly (scales cancel in cosine, so the only
+    error is the ±0.5-step rounding noise, ~1e-2 on unit vectors)."""
+    q = queries_q.select(F.col(query_id), F.col(q_col).alias("__qq"))
+    scored = (corpus_q.select(F.col(corpus_id), F.col(q_col))
+              .crossJoin(F.broadcast(q)))
+    a = F.transform(F.col(q_col), lambda x: x.cast("double"))
+    b = F.transform(F.col("__qq"), lambda x: x.cast("double"))
+    scored = scored.select(
+        query_id, corpus_id,
+        cosine_expr(a, b).alias("cosine"),
+    ).filter(F.col(corpus_id) != F.col(query_id))
+    return _topk_per_query(scored, query_id, corpus_id, k)

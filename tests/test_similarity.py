@@ -186,3 +186,59 @@ class TestLloydRefinement:
         # refined centroids align with the true clusters, so 1-probe IVF
         # recovers the exact top-5 on this separable fixture
         assert got == want
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    import numpy as np
+
+    from logstash_integration_jdbc_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    vecs = [(0, [0.5, -1.0, 0.25, 0.0]), (1, [0.0, 0.0, 0.0, 0.0]),
+            (2, [127.0, -127.0, 63.5, 1.0])]
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<double>")
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    # row 0: scale = 1/127; q = round(v*127)
+    assert rows[0]["q_vec"] == [64, -127, 32, 0]
+    assert abs(rows[0]["q_scale"] - 1.0 / 127) < 1e-12
+    # all-zero vector: scale 1.0, zeros (no divide-by-zero)
+    assert rows[1]["q_scale"] == 1.0 and rows[1]["q_vec"] == [0, 0, 0, 0]
+    # values at the int8 boundary stay within ±127
+    assert max(map(abs, rows[2]["q_vec"])) <= 127
+
+
+def test_quantized_cosine_close_and_recall(spark):
+    import numpy as np
+
+    from logstash_integration_jdbc_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_quantized,
+        quantize_embeddings,
+    )
+
+    rng = np.random.RandomState(7)
+    corpus = [(i, rng.randn(16).tolist()) for i in range(120)]
+    df = spark.createDataFrame(corpus, "vec_id int, embedding array<double>")
+    queries = df.limit(5).selectExpr("vec_id as query_id", "embedding")
+    exact = cosine_topk(df, queries, k=10).collect()
+    dq = quantize_embeddings(df)
+    qq = quantize_embeddings(
+        queries.withColumnRenamed("query_id", "vec_id")
+    ).withColumnRenamed("vec_id", "query_id")
+    quant = cosine_topk_quantized(dq, qq, k=10).collect()
+    # per-pair cosine within quantization noise
+    em = {(r["query_id"], r["vec_id"]): r["cosine"] for r in exact}
+    qm = {(r["query_id"], r["vec_id"]): r["cosine"] for r in quant}
+    shared = set(em) & set(qm)
+    assert all(abs(em[kk] - qm[kk]) < 0.03 for kk in shared)
+    # recall@10 of the quantized index vs exact
+    by_q_exact: dict[int, set] = {}
+    by_q_quant: dict[int, set] = {}
+    for r in exact:
+        by_q_exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in quant:
+        by_q_quant.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(by_q_exact[q] & by_q_quant[q]) / 10
+               for q in by_q_exact]
+    assert sum(recalls) / len(recalls) >= 0.9
