@@ -294,6 +294,36 @@ def run_perplexity_bench(spark, n_rows: int = MINHASH_ROWS,
             "docs_per_sec": round(n_rows / wall, 1), "scored": int(scored)}
 
 
+def run_bpe_bench(spark, n_rows: int = MINHASH_ROWS,
+                  reps: int = BENCH_REPS) -> dict:
+    """Trainable-BPE at volume: train 200 merges from the 1M-turn
+    corpus's word counts (one exchange + driver-side merge loop), then
+    encode all 1M turns through the Arrow kernel with per-batch word
+    memoization. Reports train and encode walls separately — train is
+    vocab-bounded (amortized once per corpus), encode is the per-row
+    cost that scales."""
+    from logstash_integration_jdbc_spark.operators import bpe
+
+    tr = spark.read.parquet(
+        f"{_pipeline_input(spark, n_rows)}/transcripts.parquet")
+    t0 = time.time()
+    merges = bpe.train_bpe(tr, 200, min_word_count=2)
+    train_wall = time.time() - t0
+    walls = []
+    toks = 0
+    for _ in range(max(reps, 1)):
+        t0 = time.time()
+        toks = (bpe.bpe_token_count(tr, merges)
+                .agg({"bpe_len": "sum"}).first()[0])
+        walls.append(time.time() - t0)
+    wall = min(walls)
+    return {"rows": n_rows, "n_merges": len(merges),
+            "train_wall_sec": round(train_wall, 3),
+            "wall_sec": round(wall, 3),
+            "rows_per_sec": round(n_rows / wall, 1),
+            "tokens": int(toks)}
+
+
 def run_parse_bench(spark, n_rows: int = MINHASH_ROWS,
                     reps: int = BENCH_REPS) -> dict:
     """Grok vs dissect at volume over 1M transcript turns: both extract
@@ -440,6 +470,9 @@ def main_bench() -> None:
     per_query["parse_grok_1m"] = parse1m["grok"]["wall_sec"]
     per_query["parse_dissect_1m"] = parse1m["dissect"]["wall_sec"]
 
+    bpe1m = run_bpe_bench(spark, reps=1)
+    per_query["bpe_encode_1m"] = bpe1m["wall_sec"]
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # r4 lesson: the driver's tail capture truncated the FRONT of one
     # long line and lost the machine-readable headline. Split output:
@@ -455,6 +488,7 @@ def main_bench() -> None:
         "substring_1m": sub1m,
         "perplexity_1m": ppl1m,
         "parse_1m": parse1m,
+        "bpe_1m": bpe1m,
     }
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
