@@ -8,8 +8,8 @@ decompression with dictionary reset, and the 4-pass interlace row
 ordering. ``parse_gif`` returns the FIRST frame as RGB;
 ``composite_gif_frames`` runs the full GIF89a animation model
 (partial frames, local palettes, transparency, disposal methods
-0-3), so animated sampling no longer needs Pillow — only >256-color
-composites (palette quantization) still raise toward it.
+0-3), and >256-color composites re-encode through deterministic
+median-cut quantization — the GIF surface needs no Pillow at all.
 
 The encoder exists so tests can build REAL GIF bytes without any
 library: single-frame, global palette, genuine LZW (dictionary growth,
@@ -303,15 +303,69 @@ def composite_gif_frames(payload: bytes, max_frames: int | None = None):
     return frames
 
 
+def median_cut_palette(rgb, n_colors: int = 256):
+    """Deterministic median-cut quantization → (palette (m, 3) uint8,
+    index (h, w) int array), m ≤ n_colors.
+
+    Classic Heckbert median cut over the image's UNIQUE colors
+    (count-weighted): repeatedly split the box with the widest channel
+    range at the weighted median of that channel; each box's palette
+    entry is its count-weighted mean. All ordering comes from
+    ``np.unique``'s lexicographic sort + explicit tie-breaks, so the
+    same image always yields the same palette on any host."""
+    import numpy as np
+
+    flat = np.asarray(rgb, dtype=np.uint8).reshape(-1, 3)
+    colors, inverse, counts = np.unique(
+        flat, axis=0, return_inverse=True, return_counts=True)
+    h_w = np.asarray(rgb).shape[:2]
+    if colors.shape[0] <= n_colors:
+        return colors.copy(), inverse.reshape(h_w)
+
+    c32 = colors.astype(np.int64)
+    boxes = [np.arange(colors.shape[0])]
+    while len(boxes) < n_colors:
+        best = None  # (range, pixel count, box index) — deterministic
+        for bi, box in enumerate(boxes):
+            if box.shape[0] < 2:
+                continue
+            rng = int((c32[box].max(axis=0) - c32[box].min(axis=0)).max())
+            key = (rng, int(counts[box].sum()), -bi)
+            if rng > 0 and (best is None or key > best[0]):
+                best = (key, bi)
+        if best is None:
+            break
+        bi = best[1]
+        box = boxes[bi]
+        spans = c32[box].max(axis=0) - c32[box].min(axis=0)
+        ch = int(np.argmax(spans))  # first-widest channel on ties
+        order = box[np.argsort(c32[box, ch], kind="stable")]
+        cum = np.cumsum(counts[order])
+        half = cum[-1] / 2.0
+        cut = int(np.searchsorted(cum, half, side="left")) + 1
+        cut = min(max(cut, 1), order.shape[0] - 1)
+        boxes[bi] = order[:cut]
+        boxes.append(order[cut:])
+
+    pal = np.zeros((len(boxes), 3), dtype=np.uint8)
+    color_to_entry = np.zeros(colors.shape[0], dtype=np.int64)
+    for ei, box in enumerate(boxes):
+        wsum = counts[box].astype(np.float64)
+        mean = (c32[box] * wsum[:, None]).sum(axis=0) / wsum.sum()
+        pal[ei] = np.clip(np.round(mean), 0, 255).astype(np.uint8)
+        color_to_entry[box] = ei
+    return pal, color_to_entry[inverse].reshape(h_w)
+
+
 def gif_frames_as_standalone(payload: bytes) -> list[bytes]:
     """Every frame of an animated GIF as a standalone single-frame GIF.
 
     Fast path: the byte-level carve (``split_gif_frames``) when frames
     are full-canvas and opaque — no decode at all. Otherwise frames are
-    composited (``composite_gif_frames``) and re-encoded with an exact
-    adaptive palette; a composited canvas with more than 256 distinct
-    colors (mixed palettes) needs real quantization and raises toward
-    Pillow."""
+    composited (``composite_gif_frames``) and re-encoded: exact
+    adaptive palette when the canvas has ≤256 distinct colors,
+    deterministic median-cut quantization when mixed local palettes
+    push it past 256."""
     import numpy as np
 
     try:
@@ -320,16 +374,11 @@ def gif_frames_as_standalone(payload: bytes) -> list[bytes]:
         pass
     out: list[bytes] = []
     for _w, _h, rgb in composite_gif_frames(payload):
-        flat = rgb.reshape(-1, 3)
-        colors, inv = np.unique(flat, axis=0, return_inverse=True)
-        if colors.shape[0] > 256:
-            raise NotImplementedError(
-                "composited GIF frame has >256 colors; palette "
-                "quantization needs Pillow")
+        colors, idx = median_cut_palette(rgb, 256)
         n = max(2, 1 << max(0, int(colors.shape[0] - 1).bit_length()))
         pal = np.zeros((n, 3), dtype=np.uint8)
         pal[:colors.shape[0]] = colors
-        out.append(encode_gif(inv.reshape(rgb.shape[:2]), pal))
+        out.append(encode_gif(idx, pal))
     return out
 
 

@@ -316,3 +316,62 @@ def test_sample_frames_composited_gif(spark):
         fw, fh, px = parse_gif(bytes(r.frame_bytes))
         assert (fw, fh) == (w, h)
         assert np.array_equal(px, rgb)
+
+
+def test_median_cut_exact_when_under_256():
+    from logstash_integration_jdbc_spark.functions.gif import (
+        median_cut_palette,
+    )
+
+    rgb = PAL4[np.array([[0, 1], [2, 3]])]
+    pal, idx = median_cut_palette(rgb, 256)
+    assert np.array_equal(pal[idx], rgb)  # lossless passthrough
+
+
+def test_median_cut_quantizes_gradient():
+    from logstash_integration_jdbc_spark.functions.gif import (
+        median_cut_palette,
+    )
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    rgb = np.stack([yy * 8, xx * 8, (yy + xx) * 4], axis=-1).astype(np.uint8)
+    n_in = len(np.unique(rgb.reshape(-1, 3), axis=0))
+    assert n_in > 256
+    pal, idx = median_cut_palette(rgb, 256)
+    assert pal.shape[0] <= 256
+    err = np.abs(pal[idx].astype(int) - rgb.astype(int))
+    assert float(err.mean()) < 8.0 and int(err.max()) <= 32
+    # deterministic: second run bit-identical
+    pal2, idx2 = median_cut_palette(rgb, 256)
+    assert np.array_equal(pal, pal2) and np.array_equal(idx, idx2)
+
+
+def test_standalone_frames_quantize_mixed_palettes():
+    from logstash_integration_jdbc_spark.functions.gif import (
+        encode_gif_animation,
+        composite_gif_frames,
+        gif_frames_as_standalone,
+    )
+
+    # two half-canvas frames with DISJOINT 256-color local palettes →
+    # the second composited canvas carries 512 distinct colors
+    rng = np.random.RandomState(3)
+    p1 = np.stack([np.arange(256), np.zeros(256), rng.randint(0, 256, 256)],
+                  axis=1).astype(np.uint8)
+    p2 = np.stack([np.zeros(256), np.arange(256), 255 - np.arange(256)],
+                  axis=1).astype(np.uint8)
+    f1 = np.tile(np.arange(256, dtype=np.uint8), (16, 1)).reshape(16, 256)
+    blob = encode_gif_animation(
+        [{"idx": f1, "left": 0, "top": 0, "palette": p1},
+         {"idx": f1, "left": 0, "top": 16, "palette": p2}],
+        np.zeros((2, 3), np.uint8) + 1, screen=(256, 32))
+    comp = composite_gif_frames(blob)
+    n_colors = len(np.unique(comp[1][2].reshape(-1, 3), axis=0))
+    assert n_colors > 256
+    frames = gif_frames_as_standalone(blob)
+    assert len(frames) == 2
+    w, h, px = parse_gif(frames[1])
+    assert (w, h) == (256, 32)
+    assert len(np.unique(px.reshape(-1, 3), axis=0)) <= 256
+    err = np.abs(px.astype(int) - comp[1][2].astype(int))
+    assert float(err.mean()) < 8.0
