@@ -257,3 +257,46 @@ def test_perplexity_no_python_eval(spark):
     # one-row aggregate broadcasts — the model tables join shuffled
     assert "EvalPython" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_quantize_embeddings_pure_expression(spark):
+    from logstash_integration_jdbc_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame([(0, [1.0, -2.0])],
+                               "vec_id int, embedding array<double>")
+    plan = plan_of(quantize_embeddings(df))
+    # no Python evaluation, no shuffle — the int8 index is a map pass
+    assert "EvalPython" not in plan and "Exchange" not in plan
+
+
+def test_bpe_word_counts_single_exchange(spark):
+    from logstash_integration_jdbc_spark.operators.bpe import word_counts
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id int, text string")
+    plan = plan_of(word_counts(df))
+    assert plan.count("Exchange") == 1  # one word-key shuffle, no Python
+    assert "EvalPython" not in plan
+
+
+def test_bpe_encode_is_one_arrow_pass(spark):
+    from logstash_integration_jdbc_spark.operators import bpe
+
+    df = spark.createDataFrame([(0, "a b a")], "doc_id int, text string")
+    plan = plan_of(bpe.bpe_encode(df, [("a", "</w>")]))
+    # exactly one Arrow-batched python stage, zero shuffles
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan  # never row-at-a-time
+
+
+def test_rrf_fuse_single_aggregate_over_union(spark):
+    from logstash_integration_jdbc_spark.operators.relevance import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1)], "doc_id int, rank int")
+    b = spark.createDataFrame([(1, 2)], "doc_id int, rank int")
+    plan = plan_of(rrf_fuse([a, b], k=5))
+    # union + one id-key aggregate + the k-row TakeOrdered — no joins
+    assert "Join" not in plan
+    assert "TakeOrdered" in plan

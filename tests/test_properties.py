@@ -154,3 +154,54 @@ def test_png_roundtrip_property(w, h, seed):
     got_w, got_h, got = parse_png(encode_png(px))
     assert (got_w, got_h) == (w, h)
     assert np.array_equal(got, px)
+
+
+# -- BPE: the incremental trainer ≡ a brute re-count-per-round trainer
+#    and encode is lossless (token concat reproduces the words) -------------
+
+@st.composite
+def word_count_tables(draw):
+    words = draw(st.lists(
+        st.text(alphabet="abcdef</>", min_size=1, max_size=6),
+        min_size=1, max_size=12, unique=True))
+    return [(w, draw(st.integers(min_value=1, max_value=9)))
+            for w in words]
+
+
+@given(word_count_tables(), st.integers(min_value=1, max_value=25))
+@settings(max_examples=60, deadline=None)
+def test_bpe_incremental_matches_brute(counts, k):
+    from logstash_integration_jdbc_spark.operators import bpe
+
+    vocab = {tuple(w) + (bpe.EOW,): n for w, n in counts if w}
+    merges = []
+    for _ in range(k):
+        pairs = {}
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        joined = best[0] + best[1]
+        nv = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and (syms[i], syms[i + 1]) == best:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + n
+        vocab = nv
+    assert bpe.train_bpe_from_counts(counts, k) == merges
+
+    # encode is lossless: tokens concatenate back to word + EOW
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w, _n in counts:
+        toks = bpe.encode_word(w, ranks)
+        assert "".join(toks) == w + bpe.EOW
