@@ -2518,6 +2518,93 @@ def _q_transcript_pipeline(spark, sf_dir):
     return enriched.groupBy(sink.alias("sink")).agg(F.count(F.lit(1)).alias("n"))
 
 
+def _q_quantile_filter(spark, sf_dir):
+    # FineWeb-style "keep the top 25% by classifier score per source":
+    # integer rank gate (ceil(p*n) survivors ordered score DESC, id
+    # ASC) — no float quantile interpolation to diverge between
+    # engines; the oracle replays the quality formula + the same
+    # window in DuckDB.
+    from logstash_integration_jdbc_spark.operators.sampling import (
+        filter_top_quantile,
+    )
+    from logstash_integration_jdbc_spark.operators.textstats import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    out = filter_top_quantile(quality_score(docs), "quality", 0.25,
+                              group_col="source", tiebreak_col="doc_id")
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum("doc_id").cast("bigint").alias("sum_ids"))
+
+
+def _q_token_budget_mix(spark, sf_dir):
+    # data mixing by TOKEN quota: admit docs per source in
+    # deterministic hash order until an 800-token budget would be
+    # exceeded (quota by tokens, not rows — long-doc sources exhaust
+    # their share with fewer documents). XXH64-twin VALUES oracle.
+    from logstash_integration_jdbc_spark.operators.sampling import (
+        token_budget_per_group,
+    )
+    from logstash_integration_jdbc_spark.operators.textstats import token_count
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count(F.col("text")))
+    out = token_budget_per_group(docs, "source", 800, "n_tokens")
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("doc_id").cast("bigint").alias("sum_ids"))
+
+
+def _url_variant_exprs(d):
+    """Deterministic synthetic URL from a doc_id — Spark-expression
+    form, mirrored value-for-value by ``_url_variant_py``. Covers mixed
+    case, default/non-default ports, trailing slashes, empty paths,
+    tracking params, unsorted params, and fragments."""
+    scheme = F.when(d % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https"))
+    host = F.concat(F.lit("Example"), (d % 7).cast("string"), F.lit(".COM"))
+    port = F.element_at(
+        F.array(F.lit(""), F.lit(":80"), F.lit(":443"), F.lit(":8080")),
+        (d % 4 + 1).cast("int"))
+    path = F.when(d % 11 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("/p"), (d % 5).cast("string"),
+                 F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit(""))))
+    query = F.element_at(
+        F.array(F.lit(""), F.lit("?b=2&utm_source=x&a=1"),
+                F.lit("?z=9&fbclid=1&y=1&x="), F.lit("?q=1")),
+        (d % 9 % 4 + 1).cast("int"))
+    frag = F.when(d % 5 == 0, F.lit("#sec")).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, port, path, query, frag)
+
+
+def _url_variant_py(did: int) -> str:
+    scheme = "HTTP" if did % 2 == 0 else "https"
+    host = f"Example{did % 7}.COM"
+    port = ["", ":80", ":443", ":8080"][did % 4]
+    path = "" if did % 11 == 0 else (
+        f"/p{did % 5}" + ("/" if did % 3 == 0 else ""))
+    query = ["", "?b=2&utm_source=x&a=1",
+             "?z=9&fbclid=1&y=1&x=", "?q=1"][did % 9 % 4]
+    frag = "#sec" if did % 5 == 0 else ""
+    return f"{scheme}://{host}{port}{path}{query}{frag}"
+
+
+def _q_url_canonical(spark, sf_dir):
+    # URL canonicalization (web-dedup primitive): messy synthetic URLs
+    # derived from doc_id (every rule exercised) canonicalized by the
+    # pure-expression operator; the oracle recanonicalizes the same
+    # URLs with the independent urllib twin. Case/port/params/
+    # trailing-slash spellings collapse, so identical variant tuples
+    # dedup to one canonical string (n_dups > 1 for repeated combos).
+    from logstash_integration_jdbc_spark.functions.url import canonicalize_url
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _url_variant_exprs(d).alias("url"))
+    canon = docs.select("doc_id", canonicalize_url(F.col("url")).alias("canon"))
+    return canon.where(d % 20 == 3).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS evidence placement: the driver's correctness
     board records the FIRST 50 entries only (observed r4), so entries
@@ -2668,6 +2755,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_pairs": _q_streaming_pairs,
         "multimodal_jpeg_12bit": _q_jpeg_12bit,
         "ann_quantized_topk": _q_ann_quantized_topk,
+        "quantile_filter": _q_quantile_filter,
+        "token_budget_mix": _q_token_budget_mix,
+        "url_canonical": _q_url_canonical,
     }
 
 
@@ -5135,4 +5225,105 @@ def oracle_sql() -> dict[str, str]:
                concat('cust-', c_custkey, '/', lower(c_mktsegment)) AS label
         FROM customer
     """
+    # quantile_filter: the text_quality formula replayed with source
+    # carried through, then the SAME integer rank gate (ceil(p*n)
+    # survivors ordered quality DESC, doc_id ASC) as a window.
+    q["quantile_filter"] = rf"""
+        WITH f AS (
+            SELECT doc_id, source,
+                CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                     ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks,
+                length(text) AS n_chars,
+                length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+                length(regexp_replace(text, '\s+', '', 'g')) AS n_nospace
+            FROM documents
+        ), g AS (
+            SELECT doc_id, source, len(toks) AS n_tokens,
+                round(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END, 6) AS punct_ratio,
+                round(CASE WHEN len(toks) > 0
+                      THEN CAST(len(list_filter(toks, t -> t IN ({_STOP_EN}))) AS DOUBLE)/len(toks)
+                      ELSE 0.0 END, 6) AS stopword_ratio,
+                round(CASE WHEN len(toks) > 0 THEN CAST(n_nospace AS DOUBLE)/len(toks) ELSE 0.0 END, 6) AS mean_word_len
+            FROM f
+        ), s AS (
+            SELECT doc_id, source,
+                CAST(round((CASE WHEN n_tokens >= 10 THEN 0.25 ELSE 0.0 END)
+              + (CASE WHEN mean_word_len > 1.0 AND mean_word_len <= 12.0 THEN 0.25 ELSE 0.0 END)
+              + (CASE WHEN punct_ratio < 0.3 THEN 0.25 ELSE 0.0 END)
+              + (CASE WHEN stopword_ratio > 0.0 THEN 0.25 ELSE 0.0 END), 2) AS DOUBLE) AS quality
+            FROM g
+        ), r AS (
+            SELECT source, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY quality DESC, doc_id) AS rk,
+                   COUNT(*) OVER (PARTITION BY source) AS n
+            FROM s
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        FROM r WHERE rk <= CEIL(0.25 * n) GROUP BY source
+    """
+
+    # token_budget_mix: greedy admit-while-fits replayed by the
+    # pure-Python XXH64 twin (same hash order, same token counts).
+    def _build_token_budget_sql() -> str:
+        import duckdb as _dk
+
+        from logstash_integration_jdbc_spark.functions.xxhash import (
+            spark_ws_tokens,
+            xxh64_str,
+        )
+        from logstash_integration_jdbc_spark.operators.sampling import (
+            HASH_BUCKETS,
+        )
+
+        rows = _dk.sql(
+            f"SELECT doc_id, source, text FROM "
+            f"read_parquet('{_ORACLE_SF_DIR}/documents.parquet')"
+        ).fetchall()
+        groups: dict[str, list[tuple[float, int, int]]] = {}
+        for did, src, text in rows:
+            u = (xxh64_str(f"{did}#42") % HASH_BUCKETS) / float(HASH_BUCKETS)
+            n_tok = 0 if text.strip(" ") == "" else len(spark_ws_tokens(text))
+            groups.setdefault(src, []).append((u, did, n_tok))
+        vals = []
+        for src in sorted(groups):
+            cum, ids, toks = 0, [], 0
+            for _, did, n_tok in sorted(groups[src]):
+                cum += n_tok
+                if cum > 800:
+                    break
+                ids.append(did)
+                toks += n_tok
+            vals.append(f"('{src}', CAST({len(ids)} AS BIGINT), "
+                        f"CAST({toks} AS BIGINT), "
+                        f"CAST({sum(ids)} AS BIGINT))")
+        return ("SELECT * FROM (VALUES " + ", ".join(vals)
+                + ") t(source, n_docs, n_tokens, sum_ids)")
+
+    q["token_budget_mix"] = _value_oracle(
+        "token_budget_mix", _build_token_budget_sql)
+
+    # url_canonical: same synthetic URLs rebuilt + canonicalized by the
+    # independent urllib twin (functions/url.canonicalize_url_py).
+    def _build_url_canonical_sql() -> str:
+        import duckdb as _dk
+
+        from logstash_integration_jdbc_spark.functions.url import (
+            canonicalize_url_py,
+        )
+
+        ids = [r[0] for r in _dk.sql(
+            f"SELECT doc_id FROM "
+            f"read_parquet('{_ORACLE_SF_DIR}/documents.parquet') "
+            "WHERE doc_id % 20 = 3 ORDER BY doc_id").fetchall()]
+        vals = [
+            f"({did}, '{canonicalize_url_py(_url_variant_py(did))}')"
+            for did in ids
+        ]
+        return ("SELECT * FROM (VALUES " + ", ".join(vals)
+                + ") t(doc_id, canon)")
+
+    q["url_canonical"] = _value_oracle(
+        "url_canonical", _build_url_canonical_sql)
     return q

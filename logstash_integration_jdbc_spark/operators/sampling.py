@@ -200,3 +200,64 @@ def temperature_sample(df: DataFrame, source_col: str, key: Column,
         entries += [F.lit(s), F.lit(v / mx)]
     p = F.element_at(F.create_map(*entries), F.col(source_col))
     return df.filter(hash_uniform(key, seed) < p)
+
+
+def filter_top_quantile(df: DataFrame, score_col: str, keep_frac: float,
+                        group_col: str | None = None,
+                        tiebreak_col: str = "doc_id") -> DataFrame:
+    """Keep the top ``keep_frac`` of rows per group by score — the
+    classifier-threshold curation step (FineWeb-Edu-style "keep the
+    best-scoring p%"), expressed as a RANK gate instead of a fixed
+    threshold so the retention rate is exact per group regardless of
+    score distribution drift between sources.
+
+    Deterministic and engine-replayable: survivors are the first
+    ``ceil(keep_frac * n_group)`` rows ordered by (score DESC,
+    tiebreak ASC) — integer rank arithmetic, no float quantile
+    interpolation to diverge between engines. One shuffle on the group
+    key (or a single global window when ``group_col`` is None — use
+    groups at scale: a global ordering funnels into one task).
+    """
+    if not (0.0 <= keep_frac <= 1.0):
+        raise ValueError(f"keep_frac must be in [0, 1], got {keep_frac}")
+    from pyspark.sql import Window
+
+    parts = [group_col] if group_col else []
+    order = [F.col(score_col).desc(), F.col(tiebreak_col).asc()]
+    w = Window.partitionBy(*parts).orderBy(*order)
+    wn = Window.partitionBy(*parts)
+    return (df.withColumn("_rk", F.row_number().over(w))
+              .withColumn("_n", F.count(F.lit(1)).over(wn))
+              .where(F.col("_rk") <= F.ceil(F.lit(keep_frac) * F.col("_n")))
+              .drop("_rk", "_n"))
+
+
+def token_budget_per_group(df: DataFrame, group_col: str, budget: int,
+                           token_col: str, seed: int = 42,
+                           tiebreak_col: str = "doc_id") -> DataFrame:
+    """Cap each group's TOKEN total at ``budget`` — the data-mixing
+    step that fills per-source token quotas for a training run (quota
+    by tokens, not documents: a source of long documents exhausts its
+    share with fewer rows).
+
+    Docs are admitted in deterministic key-hash order (an unbiased,
+    reproducible draw — same seed, same admitted set on every run,
+    engine, and cluster size) until the running token total would
+    stay within ``budget``; the first doc that crosses the budget and
+    everything after it is dropped (admit-while-fits, no truncation —
+    cutting documents is the trainer's policy).
+
+    One shuffle on the group key; the running total is a bounded
+    per-group window sum. Same hot-group caveat as ``quota_per_group``.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(group_col)
+         .orderBy(hash_uniform(F.col(tiebreak_col), seed).asc(),
+                  F.col(tiebreak_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (df.withColumn("_cum", F.sum(F.col(token_col)).over(w))
+              .where(F.col("_cum") <= budget)
+              .drop("_cum"))

@@ -409,3 +409,104 @@ def test_compression_ratio_separates_repetition_from_prose(spark):
     import zlib
     b = rows[0][1].encode()
     assert out[1] == len(zlib.compress(b, 6)) / len(b)
+
+
+def test_filter_top_quantile_exact_rank_gate(spark):
+    from logstash_integration_jdbc_spark.operators.sampling import (
+        filter_top_quantile,
+    )
+
+    # 2 groups x 10 rows, score == id so the top-30% set is closed-form
+    rows = [(g, gi * 100 + i, float(i))
+            for gi, g in enumerate(("a", "b")) for i in range(10)]
+    df = spark.createDataFrame(rows, "src string, doc_id long, score double")
+    out = filter_top_quantile(df, "score", 0.3, group_col="src",
+                              tiebreak_col="doc_id").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.src, set()).add(r.doc_id % 100)
+    # ceil(0.3 * 10) = 3 highest scores per group
+    assert by_src == {"a": {7, 8, 9}, "b": {7, 8, 9}}
+
+    # ties broken by ascending id: equal scores keep the LOWEST ids
+    tied = spark.createDataFrame(
+        [("a", i, 1.0) for i in range(10)],
+        "src string, doc_id long, score double")
+    kept = {r.doc_id for r in filter_top_quantile(
+        tied, "score", 0.5, group_col="src", tiebreak_col="doc_id").collect()}
+    assert kept == {0, 1, 2, 3, 4}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        filter_top_quantile(df, "score", 1.5, group_col="src")
+
+
+def test_token_budget_per_group_caps_tokens(spark):
+    from logstash_integration_jdbc_spark.operators.sampling import (
+        token_budget_per_group,
+    )
+
+    rows = [(("x" if i < 30 else "y"), i, 10 + (i % 5)) for i in range(60)]
+    df = spark.createDataFrame(rows, "src string, doc_id long, n_tokens int")
+    out = token_budget_per_group(df, "src", 100, "n_tokens")
+    agg = {r.src: (r.n, r.toks) for r in out.groupBy("src").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("toks")).collect()}
+    # every group's admitted token total is within budget and non-empty
+    for src, (n, toks) in agg.items():
+        assert 0 < toks <= 100, (src, toks)
+        assert n < 30  # budget actually dropped rows
+
+    # deterministic: same seed -> same admitted ids; different seed differs
+    ids1 = {r.doc_id for r in out.collect()}
+    ids2 = {r.doc_id for r in token_budget_per_group(
+        df, "src", 100, "n_tokens").collect()}
+    assert ids1 == ids2
+    ids3 = {r.doc_id for r in token_budget_per_group(
+        df, "src", 100, "n_tokens", seed=7).collect()}
+    assert ids1 != ids3
+
+    # admit-while-fits: replay group x greedily in hash order
+    from logstash_integration_jdbc_spark.functions.xxhash import xxh64_str
+    from logstash_integration_jdbc_spark.operators.sampling import HASH_BUCKETS
+
+    xs = [(did, tok) for (src, did, tok) in rows if src == "x"]
+    order = sorted(xs, key=lambda t: ((xxh64_str(f"{t[0]}#42") % HASH_BUCKETS)
+                                      / HASH_BUCKETS, t[0]))
+    cum, expect = 0, set()
+    for did, tok in order:
+        cum += tok
+        if cum > 100:
+            break
+        expect.add(did)
+    assert {i for i in ids1 if i < 30} == expect
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        token_budget_per_group(df, "src", 0, "n_tokens")
+
+
+def test_canonicalize_url_matches_python_twin(spark):
+    from logstash_integration_jdbc_spark.functions.url import (
+        canonicalize_url,
+        canonicalize_url_py,
+    )
+
+    urls = [
+        "HTTP://Example.COM:80/a/?b=2&utm_source=x&a=1#frag",
+        "https://Foo.org:443/path/sub/?z=9&fbclid=abc&y=1&x=",
+        "http://foo.bar:8080//weird/",
+        "https://a.b/",
+        "http://User:pw@Host.Net/p?q=1&ref=home",
+        "https://x.io/p%20q?a=%20b&utm_campaign=c",
+        "http://h.com",
+        "https://h.com/a?single&mc_cid=7&gclid=g",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r[0] for r in df.select(canonicalize_url(F.col("url"))).collect()]
+    assert got == [canonicalize_url_py(u) for u in urls]
+    # idempotent: canonicalizing a canonical URL is a no-op
+    df2 = spark.createDataFrame([(g,) for g in got], "url string")
+    again = [r[0] for r in df2.select(canonicalize_url(F.col("url"))).collect()]
+    assert again == got
