@@ -128,3 +128,44 @@ def test_context_windows_validates(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         context_windows(df_of(spark), k=0)
+
+
+def test_preference_pairs_picks_best_vs_worst(spark):
+    from logstash_integration_jdbc_spark.operators.preference import (
+        preference_pairs,
+    )
+
+    rows = [
+        # group g1: clear best (id 3, 0.9) and worst (id 1, 0.1)
+        ("g1", 1, 0.1, "w"), ("g1", 2, 0.5, "m"), ("g1", 3, 0.9, "b"),
+        # group g2: tied best 0.8 on ids 5,6 -> chosen id 5 (lowest);
+        # tied worst 0.2 on ids 7,8 -> rejected id 7 (lowest)
+        ("g2", 5, 0.8, "a"), ("g2", 6, 0.8, "a2"),
+        ("g2", 7, 0.2, "z"), ("g2", 8, 0.2, "z2"),
+        # group g3: all equal -> gap 0 -> dropped
+        ("g3", 9, 0.5, "x"), ("g3", 10, 0.5, "y"),
+        # group g4: single candidate -> chosen == rejected -> dropped
+        ("g4", 11, 0.7, "solo"),
+        # group g5: null scores ignored
+        ("g5", 12, None, "n"), ("g5", 13, 0.6, "k"), ("g5", 14, 0.3, "j"),
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, doc_id long, score double, text string")
+    out = {r.grp: r for r in preference_pairs(
+        df, "grp", "doc_id", "score", payload_cols=("text",)).collect()}
+    assert set(out) == {"g1", "g2", "g5"}
+    assert (out["g1"].chosen_id, out["g1"].rejected_id) == (3, 1)
+    assert (out["g1"].chosen_text, out["g1"].rejected_text) == ("b", "w")
+    assert abs(out["g1"].score_gap - 0.8) < 1e-12
+    assert (out["g2"].chosen_id, out["g2"].rejected_id) == (5, 7)
+    assert (out["g5"].chosen_id, out["g5"].rejected_id) == (13, 14)
+
+    # margin gate: require a gap strictly above 0.5
+    strict = {r.grp for r in preference_pairs(
+        df, "grp", "doc_id", "score", margin=0.5).collect()}
+    assert strict == {"g1", "g2"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        preference_pairs(df, "grp", "doc_id", "score", margin=-1)

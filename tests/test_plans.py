@@ -300,3 +300,55 @@ def test_rrf_fuse_single_aggregate_over_union(spark):
     # union + one id-key aggregate + the k-row TakeOrdered — no joins
     assert "Join" not in plan
     assert "TakeOrdered" in plan
+
+
+def test_quantile_and_token_budget_single_group_exchange(spark):
+    from logstash_integration_jdbc_spark.operators.sampling import (
+        filter_top_quantile,
+        token_budget_per_group,
+    )
+    from logstash_integration_jdbc_spark.operators.textstats import (
+        quality_score,
+        token_count,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(filter_top_quantile(quality_score(docs), "quality", 0.25,
+                                       group_col="source"))
+    # rank + count share ONE window exchange on the group key; the
+    # score itself is map-side JVM expressions
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "EvalPython" not in plan
+
+    plan = plan_of(token_budget_per_group(
+        docs.withColumn("n_tokens", token_count(F.col("text"))),
+        "source", 800, "n_tokens"))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "EvalPython" not in plan
+
+
+def test_canonicalize_url_map_only_jvm(spark):
+    from logstash_integration_jdbc_spark.functions.url import with_canonical_url
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select(
+        F.concat(F.lit("http://Example.COM/a/?b=2&utm_source=x#f"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    plan = plan_of(with_canonical_url(docs))
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_preference_pairs_single_aggregate_no_window(spark):
+    from logstash_integration_jdbc_spark.operators.preference import (
+        preference_pairs,
+    )
+    from logstash_integration_jdbc_spark.operators.textstats import quality_score
+
+    docs = quality_score(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    plan = plan_of(preference_pairs(docs, "source", "doc_id", "quality"))
+    # one partial+final hash aggregate over the group key — no window
+    # funnel, no join, map-side combine before the single exchange
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan and "Join" not in plan
+    assert "EvalPython" not in plan
