@@ -2605,6 +2605,27 @@ def _q_url_canonical(spark, sf_dir):
     return canon.where(d % 20 == 3).orderBy("doc_id")
 
 
+def _q_quantile_threshold_filter(spark, sf_dir):
+    # the scale form of quantile filtering: per-group p75 threshold
+    # over a CONTINUOUS score (tiny agg, broadcast back), keep
+    # strictly above — map-only on the corpus side, no giant per-group
+    # window. Uses events.value (the discrete document quality score
+    # is degenerate here: its per-source median IS its max, so
+    # strictly-above would be vacuously empty). Exact interpolated
+    # percentile ≡ DuckDB quantile_cont; any 1-ulp formula difference
+    # lands strictly between the two order stats, so the comparison
+    # set is stable.
+    from logstash_integration_jdbc_spark.operators.sampling import (
+        filter_above_quantile,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = filter_above_quantile(ev, "value", 0.75, "event_type")
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum("event_id").cast("bigint").alias("sum_ids"))
+
+
 def _q_preference_pairs(spark, sf_dir):
     # DPO-style preference-pair assembly: per source, the highest- vs
     # lowest-quality document with deterministic tie-breaks (ties →
@@ -2775,6 +2796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_mix": _q_token_budget_mix,
         "url_canonical": _q_url_canonical,
         "preference_pairs": _q_preference_pairs,
+        "quantile_threshold_filter": _q_quantile_threshold_filter,
     }
 
 
@@ -3127,6 +3149,36 @@ def _fingerprint_oracle_values() -> str:
     ) + ") t(doc_id, fingerprint)"
 
 _STOP_EN = "'the','and','of','to','a','in','is','that','it','for'"
+
+# Shared DuckDB CTE replaying textstats.quality_score with source
+# carried through — ends in s(doc_id, source, quality). Used by the
+# quantile_filter / preference_pairs / quantile_threshold_filter
+# oracles (single definition so the twin formula cannot drift).
+_QUALITY_SRC_CTE = rf"""
+        WITH f AS (
+            SELECT doc_id, source,
+                CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                     ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks,
+                length(text) AS n_chars,
+                length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+                length(regexp_replace(text, '\s+', '', 'g')) AS n_nospace
+            FROM documents
+        ), g AS (
+            SELECT doc_id, source, len(toks) AS n_tokens,
+                round(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END, 6) AS punct_ratio,
+                round(CASE WHEN len(toks) > 0
+                      THEN CAST(len(list_filter(toks, t -> t IN ({_STOP_EN}))) AS DOUBLE)/len(toks)
+                      ELSE 0.0 END, 6) AS stopword_ratio,
+                round(CASE WHEN len(toks) > 0 THEN CAST(n_nospace AS DOUBLE)/len(toks) ELSE 0.0 END, 6) AS mean_word_len
+            FROM f
+        ), s AS (
+            SELECT doc_id, source,
+                CAST(round((CASE WHEN n_tokens >= 10 THEN 0.25 ELSE 0.0 END)
+              + (CASE WHEN mean_word_len > 1.0 AND mean_word_len <= 12.0 THEN 0.25 ELSE 0.0 END)
+              + (CASE WHEN punct_ratio < 0.3 THEN 0.25 ELSE 0.0 END)
+              + (CASE WHEN stopword_ratio > 0.0 THEN 0.25 ELSE 0.0 END), 2) AS DOUBLE) AS quality
+            FROM g
+        )"""
 _STOP = {
     "en": _STOP_EN,
     "de": "'der','die','das','und','ist','nicht','ein','zu','mit','auf'",
@@ -5245,31 +5297,8 @@ def oracle_sql() -> dict[str, str]:
     # quantile_filter: the text_quality formula replayed with source
     # carried through, then the SAME integer rank gate (ceil(p*n)
     # survivors ordered quality DESC, doc_id ASC) as a window.
-    q["quantile_filter"] = rf"""
-        WITH f AS (
-            SELECT doc_id, source,
-                CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                     ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks,
-                length(text) AS n_chars,
-                length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
-                length(regexp_replace(text, '\s+', '', 'g')) AS n_nospace
-            FROM documents
-        ), g AS (
-            SELECT doc_id, source, len(toks) AS n_tokens,
-                round(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END, 6) AS punct_ratio,
-                round(CASE WHEN len(toks) > 0
-                      THEN CAST(len(list_filter(toks, t -> t IN ({_STOP_EN}))) AS DOUBLE)/len(toks)
-                      ELSE 0.0 END, 6) AS stopword_ratio,
-                round(CASE WHEN len(toks) > 0 THEN CAST(n_nospace AS DOUBLE)/len(toks) ELSE 0.0 END, 6) AS mean_word_len
-            FROM f
-        ), s AS (
-            SELECT doc_id, source,
-                CAST(round((CASE WHEN n_tokens >= 10 THEN 0.25 ELSE 0.0 END)
-              + (CASE WHEN mean_word_len > 1.0 AND mean_word_len <= 12.0 THEN 0.25 ELSE 0.0 END)
-              + (CASE WHEN punct_ratio < 0.3 THEN 0.25 ELSE 0.0 END)
-              + (CASE WHEN stopword_ratio > 0.0 THEN 0.25 ELSE 0.0 END), 2) AS DOUBLE) AS quality
-            FROM g
-        ), r AS (
+    q["quantile_filter"] = _QUALITY_SRC_CTE + """
+        , r AS (
             SELECT source, doc_id,
                    ROW_NUMBER() OVER (PARTITION BY source
                                       ORDER BY quality DESC, doc_id) AS rk,
@@ -5346,31 +5375,8 @@ def oracle_sql() -> dict[str, str]:
 
     # preference_pairs: quality formula + two rank windows (score DESC
     # / ASC, both tie-broken by doc_id ASC), zero-gap groups dropped.
-    q["preference_pairs"] = rf"""
-        WITH f AS (
-            SELECT doc_id, source,
-                CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                     ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks,
-                length(text) AS n_chars,
-                length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
-                length(regexp_replace(text, '\s+', '', 'g')) AS n_nospace
-            FROM documents
-        ), g AS (
-            SELECT doc_id, source, len(toks) AS n_tokens,
-                round(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END, 6) AS punct_ratio,
-                round(CASE WHEN len(toks) > 0
-                      THEN CAST(len(list_filter(toks, t -> t IN ({_STOP_EN}))) AS DOUBLE)/len(toks)
-                      ELSE 0.0 END, 6) AS stopword_ratio,
-                round(CASE WHEN len(toks) > 0 THEN CAST(n_nospace AS DOUBLE)/len(toks) ELSE 0.0 END, 6) AS mean_word_len
-            FROM f
-        ), s AS (
-            SELECT doc_id, source,
-                CAST(round((CASE WHEN n_tokens >= 10 THEN 0.25 ELSE 0.0 END)
-              + (CASE WHEN mean_word_len > 1.0 AND mean_word_len <= 12.0 THEN 0.25 ELSE 0.0 END)
-              + (CASE WHEN punct_ratio < 0.3 THEN 0.25 ELSE 0.0 END)
-              + (CASE WHEN stopword_ratio > 0.0 THEN 0.25 ELSE 0.0 END), 2) AS DOUBLE) AS quality
-            FROM g
-        ), c AS (
+    q["preference_pairs"] = _QUALITY_SRC_CTE + """
+        , c AS (
             SELECT source, doc_id, quality,
                    ROW_NUMBER() OVER (PARTITION BY source
                                       ORDER BY quality DESC, doc_id) AS rk
@@ -5386,5 +5392,18 @@ def oracle_sql() -> dict[str, str]:
                c.quality - r.quality AS score_gap
         FROM c JOIN r ON c.source = r.source AND c.rk = 1 AND r.rk = 1
         WHERE c.quality - r.quality > 0
+    """
+
+    # quantile_threshold_filter: per-group exact interpolated p75
+    # threshold (quantile_cont ≡ Spark percentile), keep strictly above.
+    q["quantile_threshold_filter"] = """
+        WITH t AS (
+            SELECT event_type, quantile_cont(value, 0.75) AS thr
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(SUM(e.event_id) AS BIGINT) AS sum_ids
+        FROM events e JOIN t ON e.event_type = t.event_type
+        WHERE e.value > t.thr GROUP BY e.event_type
     """
     return q

@@ -209,7 +209,9 @@ def filter_top_quantile(df: DataFrame, score_col: str, keep_frac: float,
     classifier-threshold curation step (FineWeb-Edu-style "keep the
     best-scoring p%"), expressed as a RANK gate instead of a fixed
     threshold so the retention rate is exact per group regardless of
-    score distribution drift between sources.
+    score distribution drift between sources. A pathologically hot
+    group ranks in one window task — for billion-row groups use
+    ``filter_above_quantile`` (threshold form, map-only filter).
 
     Deterministic and engine-replayable: survivors are the first
     ``ceil(keep_frac * n_group)`` rows ordered by (score DESC,
@@ -261,3 +263,38 @@ def token_budget_per_group(df: DataFrame, group_col: str, budget: int,
     return (df.withColumn("_cum", F.sum(F.col(token_col)).over(w))
               .where(F.col("_cum") <= budget)
               .drop("_cum"))
+
+
+def filter_above_quantile(df: DataFrame, score_col: str, q: float,
+                          group_col: str, approx: bool = False,
+                          accuracy: int = 10000) -> DataFrame:
+    """Keep rows whose score is STRICTLY above the per-group ``q``
+    quantile — the scale path for quantile-based curation.
+
+    ``filter_top_quantile`` guarantees an exact retention rate but
+    ranks every row of a group in ONE window task — at 100 TB a
+    billion-row source funnels into a single executor. This variant
+    trades exact retention for a scale-free plan: a tiny per-group
+    aggregate computes the score threshold (one row per group — source
+    cardinality is small by definition), the thresholds broadcast-join
+    back, and the filter is map-only. No giant window, no hot task;
+    retention is approximately ``1-q`` (ties at the threshold drop,
+    score distribution skew shifts it).
+
+    ``approx=True`` swaps the exact interpolated ``percentile`` for
+    ``approx_percentile`` (KLL-sketch, mergeable, one pass) — the
+    setting for corpora where even the exact percentile's per-group
+    sort buffer matters. Exact by default so cross-engine oracles can
+    replay the threshold bit-for-bit.
+    """
+    if not (0.0 < q < 1.0):
+        raise ValueError(f"q must be in (0, 1), got {q}")
+    from pyspark.sql.functions import broadcast
+
+    fn = "approx_percentile" if approx else "percentile"
+    acc = f", {accuracy}" if approx else ""
+    thr = df.groupBy(group_col).agg(
+        F.expr(f"{fn}({score_col}, {q!r}{acc})").alias("_thr"))
+    return (df.join(broadcast(thr), group_col)
+              .where(F.col(score_col) > F.col("_thr"))
+              .drop("_thr"))

@@ -352,3 +352,20 @@ def test_preference_pairs_single_aggregate_no_window(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" not in plan and "Join" not in plan
     assert "EvalPython" not in plan
+
+
+def test_filter_above_quantile_broadcasts_thresholds_no_window(spark):
+    from logstash_integration_jdbc_spark.operators.sampling import (
+        filter_above_quantile,
+    )
+    from logstash_integration_jdbc_spark.operators.textstats import quality_score
+
+    docs = quality_score(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    plan = plan_of(filter_above_quantile(docs, "quality", 0.5, "source"))
+    # tiny per-group threshold aggregate broadcast back; the corpus
+    # side is filtered map-only — no window, no sort-merge exchange
+    # of the big side on the group key
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "EvalPython" not in plan

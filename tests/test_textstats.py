@@ -510,3 +510,27 @@ def test_canonicalize_url_matches_python_twin(spark):
     df2 = spark.createDataFrame([(g,) for g in got], "url string")
     again = [r[0] for r in df2.select(canonicalize_url(F.col("url"))).collect()]
     assert again == got
+
+
+def test_filter_above_quantile_threshold_form(spark):
+    from logstash_integration_jdbc_spark.operators.sampling import (
+        filter_above_quantile,
+    )
+
+    # scores 0..9 per group: median 4.5, strictly-above keeps 5..9
+    rows = [(g, gi * 100 + i, float(i))
+            for gi, g in enumerate(("a", "b")) for i in range(10)]
+    df = spark.createDataFrame(rows, "src string, doc_id long, score double")
+    kept = {(r.src, r.doc_id % 100) for r in filter_above_quantile(
+        df, "score", 0.5, "src").collect()}
+    assert kept == {(g, i) for g in ("a", "b") for i in range(5, 10)}
+
+    # approx form agrees on this tiny input (sketch is exact here)
+    ka = {(r.src, r.doc_id % 100) for r in filter_above_quantile(
+        df, "score", 0.5, "src", approx=True).collect()}
+    assert ka == kept
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        filter_above_quantile(df, "score", 0.0, "src")
