@@ -2626,6 +2626,23 @@ def _q_quantile_threshold_filter(spark, sf_dir):
         F.sum("event_id").cast("bigint").alias("sum_ids"))
 
 
+def _q_hard_negatives(spark, sf_dir):
+    # hard-negative mining for contrastive training: per query the 10
+    # nearest different-label vectors (self + positives excluded
+    # map-side BEFORE the top-k). Oracle = the ann_cosine_topk SQL
+    # with the label gate added.
+    from logstash_integration_jdbc_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    qs = emb.filter(F.col("vec_id") < 5).selectExpr(
+        "vec_id as query_id", "embedding", "label")
+    return hard_negatives(emb, qs, k=10).select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cos4"), "rank")
+
+
 def _q_preference_pairs(spark, sf_dir):
     # DPO-style preference-pair assembly: per source, the highest- vs
     # lowest-quality document with deterministic tie-breaks (ties →
@@ -2797,6 +2814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": _q_url_canonical,
         "preference_pairs": _q_preference_pairs,
         "quantile_threshold_filter": _q_quantile_threshold_filter,
+        "hard_negatives": _q_hard_negatives,
     }
 
 
@@ -5392,6 +5410,30 @@ def oracle_sql() -> dict[str, str]:
                c.quality - r.quality AS score_gap
         FROM c JOIN r ON c.source = r.source AND c.rk = 1 AND r.rk = 1
         WHERE c.quality - r.quality > 0
+    """
+
+    q["hard_negatives"] = """
+        WITH e AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), qs AS (
+            SELECT vec_id AS query_id, label AS qlabel, v AS qv
+            FROM e WHERE vec_id < 5
+        ), scored AS (
+            SELECT q.query_id, e.vec_id,
+                   list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * q.qv[i]))
+                   / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cosine
+            FROM e CROSS JOIN qs q
+            WHERE e.vec_id <> q.query_id AND e.label <> q.qlabel
+        )
+        SELECT query_id, vec_id, round(cosine, 4) AS cos4,
+               CAST(rn AS INT) AS rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, vec_id ASC) AS rn
+            FROM scored
+        ) WHERE rn <= 10
     """
 
     # quantile_threshold_filter: per-group exact interpolated p75

@@ -431,3 +431,47 @@ def cosine_topk_quantized(corpus_q: DataFrame, queries_q: DataFrame,
         cosine_expr(a, b).alias("cosine"),
     ).filter(F.col(corpus_id) != F.col(query_id))
     return _topk_per_query(scored, query_id, corpus_id, k)
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for retrieval / embedding-model training:
+    for each query, the ``k`` most-similar corpus items with a
+    DIFFERENT label — the near-miss negatives a contrastive loss
+    learns most from (random negatives are trivially separable).
+
+    Same scale shape as ``cosine_topk`` (broadcast queries, map-only
+    scoring, two-phase per-query top-k) with the positive/self
+    exclusion applied MAP-SIDE before any ranking: rows sharing the
+    query's label never enter the top-k exchange, so the selection
+    cost is paid only by candidate negatives. Swap the brute-force
+    scoring for the IVF/LSH candidate generators when the corpus
+    outgrows exact scan — the label gate composes unchanged.
+
+    Returns (query_id, vec_id, cosine, rank) — rank 1 is the hardest
+    negative.
+    """
+    q = queries.select(
+        F.col(query_id),
+        F.col(vec_col).alias("__qvec"),
+        F.col(label_col).alias("__qlabel"),
+    )
+    scored = corpus.select(
+        F.col(corpus_id), F.col(vec_col), F.col(label_col)
+    ).crossJoin(F.broadcast(q))
+    scored = scored.filter(
+        (F.col(label_col) != F.col("__qlabel"))
+        & (F.col(corpus_id) != F.col(query_id))
+    ).select(
+        query_id,
+        corpus_id,
+        cosine_expr(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+    )
+    return _topk_per_query(scored, query_id, corpus_id, k)

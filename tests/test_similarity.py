@@ -242,3 +242,36 @@ def test_quantized_cosine_close_and_recall(spark):
     recalls = [len(by_q_exact[q] & by_q_quant[q]) / 10
                for q in by_q_exact]
     assert sum(recalls) / len(recalls) >= 0.9
+
+
+def test_hard_negatives_excludes_positives_and_matches_numpy(spark, emb):
+    from pyspark.sql import functions as F
+
+    from logstash_integration_jdbc_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    e = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    qs = e.filter(F.col("vec_id") < 3).selectExpr(
+        "vec_id as query_id", "embedding", "label")
+    out = hard_negatives(e, qs, k=5).collect()
+
+    rows = e.select("vec_id", "embedding", "label").collect()
+    vecs = {r.vec_id: np.array(r.embedding) for r in rows}
+    labels = {r.vec_id: r.label for r in rows}
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, hits in by_q.items():
+        # no self, no same-label row survives
+        assert all(h.vec_id != qid for h in hits)
+        assert all(labels[h.vec_id] != labels[qid] for h in hits)
+        # numpy replay: top-5 cosine among different-label rows
+        qv = vecs[qid]
+        cand = [(float(np.dot(v, qv) / (np.linalg.norm(v) * np.linalg.norm(qv))), i)
+                for i, v in vecs.items()
+                if i != qid and labels[i] != labels[qid]]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        expect = [i for _, i in cand[:5]]
+        got = [h.vec_id for h in sorted(hits, key=lambda h: h.rank)]
+        assert got == expect
