@@ -2666,22 +2666,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first". Rotation policy (recorded in COVERAGE.md per round):
 
     1. Entries with NO driver row yet, or none on the latest board,
-       come first (r5: the 13 r4 board-absent entries + the four new
-       entries — multimodal_png_palette / multimodal_gif_palette /
-       multimodal_jpeg_progressive in the head group, dedup_substring
-       with its dedup siblings).
-    2. The §2-operator core fills the rest of the 50-row window.
-    3. Entries green on ≥2 consecutive boards rotate to the tail
+       come first. r5 window (50): the 17 r4 board-absent entries
+       (all multimodal, streaming, curation, transcript_pipeline),
+       then 8 load-bearing §2 anchors kept on every board
+       (incremental scan, both lookups, grok, router, minhash, brute
+       ANN, assembly), then 25 never-boarded operators getting their
+       FIRST driver rows (the logstash filter surface, curation
+       rules, classifier, BPE, BM25, and this round's new ops).
+    2. Entries green on recent consecutive boards rotate to the tail
        (positions 51+); they stay fully oracle-checked every round via
        ``tools/check_oracles.py`` (full-registry results in
-       COVERAGE.md — 115/115 OK end of r5) and rotate back into the
-       window the following round.
+       COVERAGE.md — 129/129 OK end of r5) and rotate back into the
+       window in later rounds, least-recently-boarded first.
 
     Every entry keeps its oracle regardless of position — the cap is a
     driver display limit, not a coverage boundary.
     """
     return {
-        # -- 1: no row on the latest driver board (rotate in) ---------
+        # -- 1: r4 board-absent / never-boarded head (rotate in) ----
         "embedding_near_dups_scalable": _q_embedding_near_dups_scalable,
         "multimodal_media_stats": _q_media_stats,
         "multimodal_audio_rms": _q_audio_rms,
@@ -2699,26 +2701,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": _q_streaming_dedup,
         "curation_funnel": _q_curation_funnel,
         "transcript_pipeline": _q_transcript_pipeline,
-        # -- 2: §2-operator core --------------------------------------
-        "s1_full_scan": _q_full_scan,
+        # -- 2: load-bearing §2 anchors kept on the board ------------
         "s2_incremental_scan": _q_incremental_scan,
+        "j1_streaming_lookup": _q_streaming_lookup,
+        "j2_static_lookup": _q_static_lookup,
+        "grok_parse": _q_grok_parse,
+        "r4_router_counts": _q_router_counts,
+        "dedup_minhash": _q_dedup_minhash,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "conv_assemble": _q_assemble,
+        # -- 3: never-boarded operator suites (first driver rows) ----
+        "dissect_parse": _q_dissect_parse,
+        "kv_parse": _q_kv_parse,
+        "json_parse": _q_json_parse,
+        "csv_parse": _q_csv_parse,
+        "mutate_fields": _q_mutate_fields,
+        "date_parse": _q_date_parse,
+        "translate_lookup": _q_translate,
+        "useragent_parse": _q_useragent,
+        "syslog_pri": _q_syslog_pri,
+        "multiline_fold": _q_multiline,
+        "split_events": _q_split_events,
+        "geoip_enrich": _q_geoip,
+        "cidr_label": _q_cidr_label,
+        "throttle_rate": _q_throttle_rate,
+        "elapsed_pairs": _q_elapsed_pairs,
+        "gopher_rules": _q_gopher_rules,
+        "c4_rules": _q_c4_rules,
+        "dedup_lines": _q_dedup_lines,
+        "dedup_semantic": _q_semantic_dedup,
+        "nb_classifier": _q_nb_classifier,
+        "bpe_encode": _q_bpe_encode,
+        "text_bm25_topk": _q_bm25_topk,
+        "url_canonical": _q_url_canonical,
+        "preference_pairs": _q_preference_pairs,
+        "hard_negatives": _q_hard_negatives,
+        # -- 4: tail — green on recent boards or queued for the r6
+        #       window; local gate covers every entry each round ------
+        "s1_full_scan": _q_full_scan,
         "a2_max_watermark": _q_max_watermark,
         "s6_param_sql": _q_param_sql,
         "p2_target_nesting": _q_target_nesting,
         "a1_count_guard": _q_count_guard,
         "r3_multi_lookup_gate": _q_multi_lookup_gate,
-        "j1_streaming_lookup": _q_streaming_lookup,
-        "j2_static_lookup": _q_static_lookup,
-        "grok_parse": _q_grok_parse,
-        "conv_assemble": _q_assemble,
-        "r4_router_counts": _q_router_counts,
         "agg_hourly_counts": _q_hourly_counts,
         "sessionize": _q_sessionize,
         "asof_enrich": _q_asof_enrich,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "dedup_exact_norm": _q_dedup_exact_norm,
-        "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_simhash,
         "dedup_substring": _q_dedup_substring,
         "text_token_count": _q_token_count,
@@ -2728,12 +2759,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_by_hash": _q_split_by_hash,
         "contamination_check": _q_contamination,
         "pack_sequences": _q_pack_sequences,
-        "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_ivf_lloyd_topk": _q_ann_ivf_lloyd_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "embedding_near_dup": _q_embedding_near_dup,
-        # -- 3: tail (green on r2-r4 boards; local gate each round) ---
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "text_repetition": _q_text_repetition,
         "j4_like_lookup": _q_like_lookup,
@@ -2752,56 +2781,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": _q_tpch_q6,
         "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_exact_keep": _q_dedup_exact_keep,
-        # -- 4: new this round (local gate now; rotate into the
-        #       window next round per the policy above) --------------
         "text_top_terms": _q_top_terms,
         "text_tfidf": _q_tfidf,
-        "text_bm25_topk": _q_bm25_topk,
         "text_chunk_docs": _q_chunk_docs,
         "text_perplexity": _q_perplexity,
         "sample_weighted": _q_sample_weighted,
         "quota_per_source": _q_quota_per_source,
-        "gopher_rules": _q_gopher_rules,
         "dedup_incremental": _q_dedup_incremental,
         "normalize_unicode": _q_normalize_unicode,
-        "dedup_lines": _q_dedup_lines,
-        "dedup_semantic": _q_semantic_dedup,
-        "nb_classifier": _q_nb_classifier,
         "profile_table": _q_profile_table,
         "multimodal_audio_spectrum": _q_audio_spectrum,
         "text_embed": _q_text_embed,
-        "dissect_parse": _q_dissect_parse,
-        "kv_parse": _q_kv_parse,
-        "json_parse": _q_json_parse,
-        "csv_parse": _q_csv_parse,
-        "mutate_fields": _q_mutate_fields,
-        "throttle_rate": _q_throttle_rate,
         "anomaly_counts": _q_anomaly_counts,
-        "cidr_label": _q_cidr_label,
         "context_windows": _q_context_windows,
         "multimodal_audio_vad": _q_audio_vad,
         "multimodal_mp4_meta": _q_mp4_meta,
-        "elapsed_pairs": _q_elapsed_pairs,
-        "date_parse": _q_date_parse,
-        "multiline_fold": _q_multiline,
-        "split_events": _q_split_events,
-        "translate_lookup": _q_translate,
-        "useragent_parse": _q_useragent,
         "xml_parse": _q_xml_parse,
-        "syslog_pri": _q_syslog_pri,
         "uuid_stamp": _q_uuid_stamp,
         "dsir_weights": _q_dsir_weights,
-        "geoip_enrich": _q_geoip,
         "metrics_rates": _q_metrics_rates,
         "temperature_mix": _q_temperature_mix,
         "json_encode_event": _q_json_encode,
         "range_gate": _q_range_gate,
-        "c4_rules": _q_c4_rules,
         "text_zlib_ratio": _q_zlib_ratio,
         "bytes_parse": _q_bytes_parse,
         "tld_extract": _q_tld_extract,
         "clone_fanout": _q_clone_fanout,
-        "bpe_encode": _q_bpe_encode,
         "hybrid_rrf_topk": _q_hybrid_rrf,
         "multimodal_gif_composite": _q_gif_composite,
         "multimodal_jpeg_cmyk": _q_jpeg_cmyk,
@@ -2811,10 +2816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantized_topk": _q_ann_quantized_topk,
         "quantile_filter": _q_quantile_filter,
         "token_budget_mix": _q_token_budget_mix,
-        "url_canonical": _q_url_canonical,
-        "preference_pairs": _q_preference_pairs,
         "quantile_threshold_filter": _q_quantile_threshold_filter,
-        "hard_negatives": _q_hard_negatives,
     }
 
 
