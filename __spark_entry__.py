@@ -2643,6 +2643,26 @@ def _q_hard_negatives(spark, sf_dir):
         "query_id", "vec_id", F.round("cosine", 4).alias("cos4"), "rank")
 
 
+def _q_dedup_components(spark, sf_dir):
+    # the pairs → clusters composition: minhash near-dup pairs (the
+    # dedup_minhash row's exact-verified set) fed through min-label
+    # connected components; per-cluster membership is replayed in
+    # DuckDB by a WITH RECURSIVE transitive closure over the same
+    # exact-jaccard pair set.
+    from logstash_integration_jdbc_spark.operators.dedup import (
+        dedup_components,
+        minhash_lsh_candidates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs, num_hashes=64, bands=16).filter(
+        F.col("jaccard") >= 0.8).select("id_a", "id_b")
+    comps = dedup_components(pairs)
+    return comps.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum("id").cast("bigint").alias("sum_ids"))
+
+
 def _q_preference_pairs(spark, sf_dir):
     # DPO-style preference-pair assembly: per source, the highest- vs
     # lowest-quality document with deterministic tie-breaks (ties →
@@ -2725,7 +2745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoip_enrich": _q_geoip,
         "cidr_label": _q_cidr_label,
         "throttle_rate": _q_throttle_rate,
-        "elapsed_pairs": _q_elapsed_pairs,
+        "dedup_components": _q_dedup_components,
         "gopher_rules": _q_gopher_rules,
         "c4_rules": _q_c4_rules,
         "dedup_lines": _q_dedup_lines,
@@ -2738,6 +2758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": _q_hard_negatives,
         # -- 4: tail — green on recent boards or queued for the r6
         #       window; local gate covers every entry each round ------
+        "elapsed_pairs": _q_elapsed_pairs,
         "s1_full_scan": _q_full_scan,
         "a2_max_watermark": _q_max_watermark,
         "s6_param_sql": _q_param_sql,
@@ -5436,6 +5457,34 @@ def oracle_sql() -> dict[str, str]:
                                          ORDER BY cosine DESC, vec_id ASC) AS rn
             FROM scored
         ) WHERE rn <= 10
+    """
+
+    # dedup_components: transitive closure over the SAME exact-jaccard
+    # pair set the dedup_minhash row verifies, via WITH RECURSIVE —
+    # component = min reachable id (including self).
+    q["dedup_components"] = f"""
+        WITH RECURSIVE {_SHINGLES_CTE},
+        p AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+        ),
+        e AS (
+            SELECT id_a AS a, id_b AS b FROM p
+            UNION ALL SELECT id_b, id_a FROM p
+        ),
+        reach AS (
+            SELECT a, b FROM e
+            UNION
+            SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+        )
+        SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(id) AS BIGINT) AS sum_ids
+        FROM (
+            SELECT a AS id, least(a, min(b)) AS component
+            FROM reach GROUP BY a
+        ) GROUP BY component
     """
 
     # quantile_threshold_filter: per-group exact interpolated p75
