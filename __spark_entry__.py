@@ -261,6 +261,48 @@ def _q_assemble_capped(spark, sf_dir):
     return out.select("conv_id", "document", "n_turns", "n_tokens")
 
 
+def _q_chat_template(spark, sf_dir):
+    # SFT export: chat-template rendering + loss-mask character spans
+    # (assistant-content [s,e) offsets into the rendered document).
+    # Spans are flattened to a canonical "s-e;s-e" string for the
+    # driver's scalar value-hash; extraction exactness is pinned in
+    # tests/test_assemble.py.
+    from logstash_integration_jdbc_spark.operators.assemble import (
+        render_chat_template,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+    )
+    out = render_chat_template(ev, assistant_role="purchase")
+    spans_str = F.array_join(
+        F.transform(F.col("loss_spans"),
+                    lambda sp: F.concat_ws("-", sp["s"], sp["e"])), ";")
+    return out.select("conv_id", "document", spans_str.alias("spans_str"),
+                      "n_targets", "target_chars")
+
+
+def _q_conv_tail_budget(spark, sf_dir):
+    # context-budget trim: longest conversation suffix whose cumulative
+    # whitespace-token count fits the budget (reverse cumsum window +
+    # filter — no second exchange)
+    from logstash_integration_jdbc_spark.operators.assemble import (
+        truncate_tail_budget,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+    )
+    return truncate_tail_budget(ev, budget=40).select(
+        "conv_id", "turn_idx", "role", "cum_tokens")
+
+
 def _q_grok_parse(spark, sf_dir):
     # north_star parse stage: multi-pattern grok with break_on_match and
     # _grokparsefailure tagging, JVM-side (GrokPipeline)
@@ -2728,8 +2770,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grok_parse": _q_grok_parse,
         "r4_router_counts": _q_router_counts,
         "dedup_minhash": _q_dedup_minhash,
-        "ann_cosine_topk": _q_ann_cosine_topk,
-        "conv_assemble": _q_assemble,
+        "chat_template_spans": _q_chat_template,
+        "conv_tail_budget": _q_conv_tail_budget,
         # -- 3: never-boarded operator suites (first driver rows) ----
         "dissect_parse": _q_dissect_parse,
         "kv_parse": _q_kv_parse,
@@ -2759,6 +2801,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 4: tail — green on recent boards or queued for the r6
         #       window; local gate covers every entry each round ------
         "elapsed_pairs": _q_elapsed_pairs,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "conv_assemble": _q_assemble,
         "s1_full_scan": _q_full_scan,
         "a2_max_watermark": _q_max_watermark,
         "s6_param_sql": _q_param_sql,
@@ -3345,6 +3389,60 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(regexp_split_to_array(trim(lower(c.text)), '\s+')) END) AS BIGINT) AS n_tokens
         FROM capped c JOIN raw r ON c.conv_id = r.conv_id
         GROUP BY c.conv_id
+    """
+    # chat_template_spans: rendered = {start}{role}\n{text}{end}; span
+    # offsets are exact prefix sums of rendered lengths, replayed via
+    # the same 1-preceding cumulative-length window Spark uses.
+    q["chat_template_spans"] = r"""
+        WITH t AS (
+            SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                   CAST(event_id AS INT) AS turn_idx,
+                   event_type AS role,
+                   '<|im_start|>' || event_type || chr(10) || props
+                       || '<|im_end|>' || chr(10) AS rendered,
+                   len('<|im_start|>' || event_type || chr(10)) AS hlen,
+                   len(props) AS tlen
+            FROM events
+        ), o AS (
+            SELECT *, coalesce(sum(len(rendered)) OVER (
+                          PARTITION BY conv_id ORDER BY turn_idx
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS off
+            FROM t
+        )
+        SELECT conv_id,
+               string_agg(rendered, '' ORDER BY turn_idx) AS document,
+               coalesce(string_agg(
+                   CASE WHEN role = 'purchase'
+                        THEN (off + hlen) || '-' || (off + hlen + tlen) END,
+                   ';' ORDER BY turn_idx), '') AS spans_str,
+               CAST(count(*) FILTER (WHERE role = 'purchase') AS BIGINT)
+                   AS n_targets,
+               CAST(coalesce(sum(tlen) FILTER (WHERE role = 'purchase'), 0)
+                    AS BIGINT) AS target_chars
+        FROM o GROUP BY conv_id
+    """
+    # conv_tail_budget: reverse cumulative whitespace-token sum, keep
+    # the suffix fitting the budget (same window Spark runs).
+    q["conv_tail_budget"] = r"""
+        WITH t AS (
+            SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                   CAST(event_id AS INT) AS turn_idx,
+                   event_type AS role,
+                   CASE WHEN trim(props) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(lower(props)),
+                                                       '\s+')) END AS toks
+            FROM events
+        ), c AS (
+            SELECT conv_id, turn_idx, role,
+                   CAST(sum(toks) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_tokens
+            FROM t
+        )
+        SELECT conv_id, turn_idx, role, cum_tokens FROM c
+        WHERE cum_tokens <= 40
     """
     q["r4_router_counts"] = """
         SELECT sink, count(*) AS n FROM (

@@ -169,3 +169,79 @@ def test_preference_pairs_picks_best_vs_worst(spark):
 
     with _pytest.raises(ValueError):
         preference_pairs(df, "grp", "doc_id", "score", margin=-1)
+
+
+def test_render_chat_template_spans_extract_targets(spark):
+    from logstash_integration_jdbc_spark.operators.assemble import (
+        render_chat_template,
+    )
+
+    out = {r.conv_id: r for r in
+           render_chat_template(df_of(spark)).collect()}
+    c1 = out["c1"]
+    assert c1.document == (
+        "<|im_start|>user\nhello<|im_end|>\n"
+        "<|im_start|>assistant\nhi there<|im_end|>\n"
+        "<|im_start|>assistant\nthree words here<|im_end|>\n")
+    # spans extract exactly the assistant CONTENT, in order
+    assert [c1.document[sp.s:sp.e] for sp in c1.loss_spans] == [
+        "hi there", "three words here"]
+    assert c1.n_targets == 2 and c1.target_chars == len("hi there") + len(
+        "three words here")
+    # no-assistant conversation: EMPTY spans array, never null
+    c2 = out["c2"]
+    assert list(c2.loss_spans) == [] and c2.n_targets == 0
+    assert c2.target_chars == 0
+
+
+def test_render_chat_template_single_exchange_jvm_only(spark):
+    from logstash_integration_jdbc_spark.operators.assemble import (
+        render_chat_template,
+    )
+
+    plan = (render_chat_template(df_of(spark))
+            ._jdf.queryExecution().executedPlan().toString())
+    # window offsets + groupBy share ONE conv_id exchange; all JVM
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "EvalPython" not in plan
+
+
+def test_truncate_tail_budget_keeps_suffix(spark):
+    from logstash_integration_jdbc_spark.operators.assemble import (
+        truncate_tail_budget,
+    )
+
+    kept = truncate_tail_budget(df_of(spark), budget=5).collect()
+    by_conv = {}
+    for r in kept:
+        by_conv.setdefault(r.conv_id, []).append((r.turn_idx, r.cum_tokens))
+    # c1 tokens per turn: idx0=1, idx1=2, idx2=3 → suffix fitting 5 is
+    # turns {1,2} (cum 3 then 5); turn 0 would push cum to 6
+    assert sorted(by_conv["c1"]) == [(1, 5), (2, 3)]
+    assert by_conv["c2"] == [(0, 1)]
+
+
+def test_truncate_tail_budget_overflow_turn_drops_older_small_turns(spark):
+    from logstash_integration_jdbc_spark.operators.assemble import (
+        truncate_tail_budget,
+    )
+
+    df = spark.createDataFrame(
+        [("c", 0, "user", "a"), ("c", 1, "user", "w x y z q r s t u v"),
+         ("c", 2, "user", "b c")],
+        "conv_id string, turn_idx int, role string, text string")
+    kept = sorted(r.turn_idx for r in truncate_tail_budget(df, budget=4).collect())
+    # the 10-token turn 1 overflows: turn 0 (1 token) must drop too —
+    # suffix property, not knapsack
+    assert kept == [2]
+
+
+def test_truncate_tail_budget_validates(spark):
+    import pytest
+
+    from logstash_integration_jdbc_spark.operators.assemble import (
+        truncate_tail_budget,
+    )
+
+    with pytest.raises(ValueError, match="budget"):
+        truncate_tail_budget(df_of(spark), budget=-1)
