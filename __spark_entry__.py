@@ -1671,6 +1671,27 @@ def _q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def _q_ann_pq_adc_topk(spark, sf_dir):
+    # Product-quantized ADC top-k (the ANN *memory* path: 8 one-byte
+    # codes per 64-dim vector = 64× smaller than float64; raw vectors
+    # never enter the scoring exchange). Codebooks: subspace slices of
+    # the 16 smallest-id vectors + 1 distributed Lloyd step. The oracle
+    # recomputes the trained codebooks with an INDEPENDENT numpy twin
+    # and replays encode (argmin-L2 via the v·w − ‖w‖²/2 identity,
+    # ties → smallest code) + ADC scoring in SQL over those literals.
+    from logstash_integration_jdbc_spark.operators.similarity import pq_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).selectExpr(
+        "vec_id as query_id", "embedding")
+    return pq_adc_topk(emb, queries, k=10, n_subspaces=8, n_codes=16,
+                       train_iters=1, use_udf_encode=False).select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cos4")
+    )
+
+
 def _q_embedding_near_dup(spark, sf_dir):
     # The companion corpus is PERTURBED, not copied: even dims ×1.35, odd
     # ×0.65 → cosine(v, v') ≈ 1/√(1+0.35²) ≈ 0.94…0.96 depending on the
@@ -2882,6 +2903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_filter": _q_quantile_filter,
         "token_budget_mix": _q_token_budget_mix,
         "quantile_threshold_filter": _q_quantile_threshold_filter,
+        "ann_pq_adc_topk": _q_ann_pq_adc_topk,
     }
 
 
@@ -4089,6 +4111,89 @@ def oracle_sql() -> dict[str, str]:
 
     q["ann_ivf_lloyd_topk"] = _value_oracle("ann_ivf_lloyd_topk",
                                             _build_ivf_lloyd_sql)
+
+    # PQ/ADC: codebooks (init = subspace slices of the 16 smallest-id
+    # vectors, 1 Lloyd step) recomputed by an independent numpy twin and
+    # inlined; SQL replays encode (argmax of v·w − ‖w‖²/2, ties →
+    # smallest code) and ADC scoring (ordered per-subspace sums so the
+    # float fold order matches the Spark expression chain).
+    def _build_pq_adc_sql() -> str:
+        import duckdb as _dk
+        import numpy as _np4
+
+        rows = _dk.sql(
+            "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) "
+            f"FROM read_parquet('{_ORACLE_SF_DIR}/embeddings.parquet') "
+            "ORDER BY vec_id"
+        ).fetchall()
+        V = _np4.array([r[1] for r in rows], dtype=_np4.float64)
+        m, K = 8, 16
+        dsub = V.shape[1] // m
+        Vs = V.reshape(len(V), m, dsub)
+        B = Vs[:K].transpose(1, 0, 2).copy()            # (m, K, dsub)
+        for _ in range(1):
+            half = 0.5 * _np4.einsum("mkd,mkd->mk", B, B)
+            S = _np4.einsum("nmd,mkd->nmk", Vs, B) - half[None, :, :]
+            A = _np4.argmax(S, axis=2)                  # first max ≡ smallest code
+            newB = B.copy()
+            for mm in range(m):
+                for c in range(K):
+                    mask = A[:, mm] == c
+                    if mask.any():
+                        newB[mm, c] = Vs[mask, mm].mean(axis=0)
+            B = newB
+        cw = ", ".join(
+            "({}, {}, [{}])".format(
+                mm, c, ", ".join(repr(float(x)) for x in B[mm, c]))
+            for mm in range(m) for c in range(K)
+        )
+        return """
+        WITH e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), cw AS (
+            SELECT sub, code, w FROM (VALUES {CW}) t(sub, code, w)
+        ), sc AS (
+            SELECT e.vec_id, cw.sub, cw.code, cw.w,
+                   list_sum(list_transform(range(1, {DSUB} + 1),
+                            i -> e.v[cw.sub * {DSUB} + i] * cw.w[i]))
+                   - 0.5 * list_sum(list_transform(cw.w, x -> x * x)) AS s
+            FROM e CROSS JOIN cw
+        ), codes AS (
+            SELECT vec_id, sub, code, w FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                             ORDER BY s DESC, code ASC) AS rn
+                FROM sc
+            ) WHERE rn = 1
+        ), qs AS (
+            SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5
+        ), contrib AS (
+            SELECT q.query_id, c.vec_id, c.sub,
+                   list_sum(list_transform(range(1, {DSUB} + 1),
+                            i -> q.qv[c.sub * {DSUB} + i] * c.w[i])) AS ip,
+                   list_sum(list_transform(c.w, x -> x * x)) AS n2
+            FROM codes c CROSS JOIN qs q WHERE c.vec_id <> q.query_id
+        ), agg AS (
+            SELECT query_id, vec_id,
+                   list_sum(list(ip ORDER BY sub)) AS ip_sum,
+                   list_sum(list(n2 ORDER BY sub)) AS n2_sum
+            FROM contrib GROUP BY query_id, vec_id
+        ), qn AS (
+            SELECT query_id, sqrt(list_sum(list_transform(qv, x -> x * x))) AS qnorm
+            FROM qs
+        ), scored AS (
+            SELECT a.query_id, a.vec_id,
+                   a.ip_sum / (qn.qnorm * sqrt(a.n2_sum)) AS cosine
+            FROM agg a JOIN qn ON a.query_id = qn.query_id
+        )
+        SELECT query_id, vec_id, round(cosine, 4) AS cos4 FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, vec_id ASC) AS rn
+            FROM scored
+        ) WHERE rn <= 10
+        """.replace("{CW}", cw).replace("{DSUB}", str(dsub))
+
+    q["ann_pq_adc_topk"] = _value_oracle("ann_pq_adc_topk", _build_pq_adc_sql)
     # ANN LSH oracle: the 16-bit sketch rebuilt in SQL from the same
     # deterministic plane coefficients (similarity._plane_coeff).
     from logstash_integration_jdbc_spark.operators.similarity import _plane_coeff

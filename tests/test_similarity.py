@@ -275,3 +275,157 @@ def test_hard_negatives_excludes_positives_and_matches_numpy(spark, emb):
         expect = [i for _, i in cand[:5]]
         got = [h.vec_id for h in sorted(hits, key=lambda h: h.rank)]
         assert got == expect
+
+
+class TestProductQuantization:
+    """PQ/ADC: the ANN memory path — 64-dim float64 → 8 one-byte codes."""
+
+    @pytest.fixture(scope="class")
+    def emb_d(self, spark):
+        from pyspark.sql import functions as F
+
+        return (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+                .withColumn("embedding", F.col("embedding").cast("array<double>"))
+                .cache())
+
+    @pytest.fixture(scope="class")
+    def q5(self, emb_d):
+        from pyspark.sql import functions as F
+
+        return emb_d.filter(F.col("vec_id") < 5).selectExpr(
+            "vec_id as query_id", "embedding")
+
+    def numpy_books(self, emb_rows, m, K, iters):
+        """Independent twin of pq_codebooks: init from the K smallest-id
+        vectors' subspace slices, Lloyd via argmin-L2 (ties → smallest)."""
+        rows = sorted(emb_rows, key=lambda r: r.vec_id)
+        V = np.array([r.embedding for r in rows], dtype=np.float64)
+        dsub = V.shape[1] // m
+        Vs = V.reshape(len(V), m, dsub)
+        B = Vs[:K].transpose(1, 0, 2).copy()
+        for _ in range(iters):
+            S = (np.einsum("nmd,mkd->nmk", Vs, B)
+                 - 0.5 * np.einsum("mkd,mkd->mk", B, B)[None])
+            A = np.argmax(S, axis=2)
+            for mm in range(m):
+                for c in range(K):
+                    mask = A[:, mm] == c
+                    if mask.any():
+                        B[mm, c] = Vs[mask, mm].mean(axis=0)
+        return B
+
+    def test_codebooks_match_numpy_twin(self, emb_d):
+        from logstash_integration_jdbc_spark.operators.similarity import (
+            pq_codebooks,
+        )
+
+        books = pq_codebooks(emb_d, n_subspaces=4, n_codes=8, train_iters=2)
+        B = self.numpy_books(emb_d.collect(), 4, 8, 2)
+        got = np.array([[w for _, w in sorted(bm, key=lambda cw: cw[0])]
+                        for bm in books])
+        assert np.allclose(got, B, atol=1e-9)
+
+    def test_encode_expr_matches_udf_and_numpy(self, emb_d):
+        from logstash_integration_jdbc_spark.operators.similarity import (
+            pq_codebooks,
+            pq_encode,
+            pq_encode_udf,
+        )
+
+        books = pq_codebooks(emb_d, n_subspaces=8, n_codes=16, train_iters=1)
+        a = {r.vec_id: list(r.pq_codes)
+             for r in pq_encode(emb_d, books).select("vec_id", "pq_codes").collect()}
+        b = {r.vec_id: list(r.pq_codes)
+             for r in pq_encode_udf(emb_d, books).select("vec_id", "pq_codes").collect()}
+        assert a == b
+        # numpy argmin-L2 twin with smallest-code tie-break
+        W = np.array([[w for _, w in sorted(bm, key=lambda cw: cw[0])]
+                      for bm in books])
+        rows = emb_d.collect()
+        V = np.array([r.embedding for r in rows], dtype=np.float64)
+        Vs = V.reshape(len(V), 8, 8)
+        S = (np.einsum("nmd,mkd->nmk", Vs, W)
+             - 0.5 * np.einsum("mkd,mkd->mk", W, W)[None])
+        codes = np.argmax(S, axis=2)
+        exp = {r.vec_id: list(map(int, codes[i]))
+               for i, r in enumerate(rows)}
+        assert a == exp
+
+    def test_adc_lut_path_matches_expression_path(self, emb_d, q5):
+        from logstash_integration_jdbc_spark.operators.similarity import (
+            _adc_score_lut,
+            _topk_per_query,
+            pq_adc_topk,
+            pq_codebooks,
+            pq_encode,
+        )
+
+        books = pq_codebooks(emb_d, n_subspaces=8, n_codes=16, train_iters=1)
+        expr = pq_adc_topk(emb_d, q5, k=10, books=books,
+                           use_udf_encode=False).collect()
+        encoded = pq_encode(emb_d, books).select("vec_id", "pq_codes")
+        scored = _adc_score_lut(encoded, q5, books, "vec_id", "query_id",
+                                "embedding")
+        lut = _topk_per_query(scored, "query_id", "vec_id", 10).collect()
+        key = lambda r: (r.query_id, r.rank)
+        ea, la = sorted(expr, key=key), sorted(lut, key=key)
+        assert [(r.query_id, r.vec_id) for r in ea] == \
+               [(r.query_id, r.vec_id) for r in la]
+        assert np.allclose([r.cosine for r in ea], [r.cosine for r in la],
+                           atol=1e-9)
+
+    def test_large_codebook_udf_route_runs(self, emb_d, q5):
+        """n_codes > 32 flips both encode and scoring to the Arrow route."""
+        from logstash_integration_jdbc_spark.operators.similarity import (
+            pq_adc_topk,
+        )
+
+        rows = pq_adc_topk(emb_d, q5, k=5, n_codes=48, train_iters=0).collect()
+        by_q = {}
+        for r in sorted(rows, key=lambda r: (r.query_id, r.rank)):
+            by_q.setdefault(r.query_id, []).append(r)
+        assert set(by_q) == {0, 1, 2, 3, 4}
+        for q, rs in by_q.items():
+            assert [r.rank for r in rs] == [1, 2, 3, 4, 5]
+            assert all(r.vec_id != q for r in rs)
+            assert all(rs[i].cosine >= rs[i + 1].cosine
+                       for i in range(len(rs) - 1))
+
+    def test_adc_recall_and_rerank_repair(self, emb_d, q5):
+        """ADC recall is decent; rerank re-scores the shortlist with
+        EXACT cosine (values must equal the numpy exact scores) and
+        recall does not drop."""
+        from logstash_integration_jdbc_spark.operators.similarity import (
+            pq_adc_topk,
+        )
+
+        exact = numpy_topk(emb_d.collect(), q5.collect(), 10)
+        adc = pq_adc_topk(emb_d, q5, k=10, train_iters=1).collect()
+        got = {}
+        for r in adc:
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        adc_recall = sum(len(got[q] & set(exact[q])) / 10 for q in exact) / len(exact)
+        assert adc_recall >= 0.3
+
+        rer = pq_adc_topk(emb_d, q5, k=10, train_iters=1,
+                          rerank_factor=4).collect()
+        vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+                for r in emb_d.collect()}
+        got_r = {}
+        for r in rer:
+            got_r.setdefault(r.query_id, set()).add(r.vec_id)
+            qv, cv = vecs[r.query_id], vecs[r.vec_id]
+            expect = float(np.dot(qv, cv)
+                           / (np.linalg.norm(qv) * np.linalg.norm(cv)))
+            assert abs(r.cosine - expect) < 1e-9
+        rer_recall = sum(len(got_r[q] & set(exact[q])) / 10
+                         for q in exact) / len(exact)
+        assert rer_recall >= adc_recall - 1e-9
+
+    def test_indivisible_dim_raises(self, emb_d):
+        from logstash_integration_jdbc_spark.operators.similarity import (
+            pq_codebooks,
+        )
+
+        with pytest.raises(ValueError, match="not divisible"):
+            pq_codebooks(emb_d, n_subspaces=7, n_codes=8)
