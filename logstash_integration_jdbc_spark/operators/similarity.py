@@ -824,3 +824,161 @@ def _adc_score_lut(encoded: DataFrame, queries: DataFrame,
                 })
 
     return encoded.mapInPandas(score, out_schema)
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    kmeans_iters: int = 0,
+    train_iters: int = 0,
+    rerank_factor: int = 0,
+) -> DataFrame:
+    """IVF-PQ: centroid-probed candidate pruning composed with RESIDUAL
+    product quantization — the full 10^9-vector recipe.
+
+    IVF alone prunes candidates but still scores floats; PQ alone
+    compresses but scans the whole corpus. Composed: each vector is
+    assigned to its nearest centroid (map-side literal argmax, as
+    ``ivf_index``), its RESIDUAL v − c is PQ-encoded (residuals cluster
+    far tighter than raw vectors, so the same codebook budget quantizes
+    much finer), and a query scores only the probed buckets, against
+    codes. The scored relation per candidate is (centroid_id, id,
+    n_subspaces bytes) — at 10^9 vectors the index is ~GBs, not TBs,
+    and a probe touches n_probe/n_centroids of it.
+
+    The approximate cosine is exact cosine against the reconstruction
+    c + r̂, computed without materialising it:
+
+        ip  = q·c + Σ_m q_m · w_m[code_m]
+        ‖c+r̂‖² = ‖c‖² + Σ_m (2·c_m·w_m[code_m] + ‖w_m[code_m]‖²)
+
+    q·c is computed once per (query, probed centroid) — on the
+    broadcast probe side, never per candidate; every c/w-only term is a
+    driver-side constant folded into literal lookup arrays indexed by
+    (centroid pos, code). Scoring is a pure Catalyst projection: no
+    UDF, no join beyond the probe, and raw vectors never enter a
+    shuffle after encode. ``rerank_factor`` > 0 re-scores the
+    ≤ k·factor shortlist with exact cosine (floats touched for the
+    shortlist only). Ties break to the smallest corpus id.
+
+    Codebooks >32 codes stall literal-expression codegen; production
+    sizes should extend this with the ``_adc_score_lut`` Arrow route
+    (flat ``pq_adc_topk`` shows the pattern) — declared boundary here.
+    """
+    if n_codes > 32:
+        raise NotImplementedError(
+            "ivf_pq_topk literal-expression scoring is bounded at 32 codes; "
+            "route production codebooks through the Arrow LUT kernel as in "
+            "pq_adc_topk(_adc_score_lut)")
+    cents = _collect_centroids(corpus, n_centroids, corpus_id, vec_col)
+    if kmeans_iters:
+        cents = _lloyd_refine(corpus, cents, corpus_id, vec_col, kmeans_iters)
+    assigned, _ = ivf_index(corpus, n_centroids, corpus_id, vec_col,
+                            _cents=cents)
+    dim = len(cents[0][1])
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    dsub = dim // n_subspaces
+
+    pos_map = F.create_map(*[
+        F.lit(v) for i, (cid, _) in enumerate(cents) for v in (cid, i)])
+    lit_cents = F.array(*[
+        F.array(*[F.lit(float(x)) for x in cv]) for _, cv in cents])
+    with_res = assigned.withColumn(
+        "__cpos", pos_map[F.col("centroid_id")]
+    ).withColumn(
+        "__resid",
+        F.zip_with(F.col(vec_col),
+                   F.element_at(lit_cents, F.col("__cpos") + 1),
+                   lambda x, c: x - c),
+    )
+    # codebook seeds/training skip the centroid rows themselves: a
+    # centroid vector's residual is exactly zero, so with smallest-id
+    # seeding up to n_centroids codewords would sit at the origin and
+    # collapse into one usable code (ties → smallest). Excluding ≤
+    # n_centroids rows from Lloyd training is statistically nothing.
+    max_cid = max(cid for cid, _ in cents)
+    books = pq_codebooks(with_res.filter(F.col(corpus_id) > max_cid),
+                         n_subspaces, n_codes, corpus_id,
+                         "__resid", train_iters)
+    encoded = pq_encode(with_res, books, "__resid").select(
+        F.col(corpus_id), "centroid_id", "__cpos", "pq_codes")
+
+    # probe side: top n_probe centroids per query + the per-(query,
+    # centroid) constant q·c — queries × n_probe rows, broadcast
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("__qvec"))
+    probe_arr = F.slice(
+        F.sort_array(F.transform(
+            _centroid_sims(F.col("__qvec"), cents),
+            lambda s: F.struct((-s["sim"]).alias("negsim"),
+                               s["centroid_id"].alias("centroid_id")),
+        )),
+        1, n_probe,
+    )
+    probes = (
+        q.select(query_id, "__qvec", F.explode(probe_arr).alias("__p"))
+        .select(query_id, "__qvec", F.col("__p.centroid_id").alias("centroid_id"))
+        .withColumn("__qc", dot_expr(
+            F.col("__qvec"),
+            F.element_at(lit_cents, pos_map[F.col("centroid_id")] + 1)))
+    )
+    cand = encoded.join(F.broadcast(probes), "centroid_id").filter(
+        F.col(corpus_id) != F.col(query_id))
+
+    # driver-side constants (sequential sums — deterministic folds)
+    def _sdot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    n2c_arr = F.array(*[F.lit(_sdot(cv, cv)) for _, cv in cents])
+    ip_res = F.lit(0.0)
+    n2_res = F.lit(0.0)
+    for m in range(n_subspaces):
+        ordered = sorted(books[m], key=lambda cw: cw[0])
+        w_arr = F.array(*[
+            F.array(*[F.lit(float(x)) for x in w]) for _, w in ordered])
+        n2w_arr = F.array(*[F.lit(_sdot(w, w)) for _, w in ordered])
+        cdw_arr = F.array(*[
+            F.array(*[
+                F.lit(_sdot(cv[m * dsub:(m + 1) * dsub], w))
+                for _, w in ordered])
+            for _, cv in cents])
+        code_m = F.element_at("pq_codes", m + 1)
+        ip_res = ip_res + dot_expr(
+            _sub_slice(F.col("__qvec"), m, dsub),
+            F.element_at(w_arr, code_m + F.lit(1)))
+        # parenthesized (2·c·w + ‖w‖²) so the fold order matches the
+        # oracle's per-subspace term sum exactly
+        n2_res = n2_res + (
+            F.lit(2.0) * F.element_at(
+                F.element_at(cdw_arr, F.col("__cpos") + 1),
+                code_m + F.lit(1))
+            + F.element_at(n2w_arr, code_m + F.lit(1))
+        )
+    recon_n2 = F.element_at(n2c_arr, F.col("__cpos") + 1) + n2_res
+    scored = cand.select(
+        query_id, corpus_id,
+        ((F.col("__qc") + ip_res)
+         / (norm_expr(F.col("__qvec")) * F.sqrt(recon_n2))).alias("cosine"),
+    )
+    if not rerank_factor:
+        return _topk_per_query(scored, query_id, corpus_id, k)
+    short = _topk_per_query(scored, query_id, corpus_id, k * rerank_factor)
+    exact = (
+        short.select(query_id, corpus_id)
+        .join(corpus.select(F.col(corpus_id), F.col(vec_col)), corpus_id)
+        .join(F.broadcast(q), query_id)
+        .select(query_id, corpus_id,
+                cosine_expr(F.col(vec_col), F.col("__qvec")).alias("cosine"))
+    )
+    return _topk_per_query(exact, query_id, corpus_id, k)

@@ -429,3 +429,137 @@ class TestProductQuantization:
 
         with pytest.raises(ValueError, match="not divisible"):
             pq_codebooks(emb_d, n_subspaces=7, n_codes=8)
+
+
+class TestIvfPq:
+    """IVF-PQ composition: probe pruning × residual PQ × ADC × rerank."""
+
+    @pytest.fixture(scope="class")
+    def emb_d(self, spark):
+        from pyspark.sql import functions as F
+
+        return (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+                .withColumn("embedding", F.col("embedding").cast("array<double>"))
+                .cache())
+
+    @pytest.fixture(scope="class")
+    def q5(self, emb_d):
+        from pyspark.sql import functions as F
+
+        return emb_d.filter(F.col("vec_id") < 5).selectExpr(
+            "vec_id as query_id", "embedding")
+
+    def numpy_ivf_pq(self, emb_rows, q_rows, k, n_cent, n_probe, m, K,
+                     train_iters):
+        """Full independent twin of the kmeans_iters=0 path: assign →
+        residual codebooks (seeds skip centroid rows) → probe → ADC
+        cosine against the reconstruction c + r̂."""
+        rows = sorted(emb_rows, key=lambda r: r.vec_id)
+        ids = np.array([r.vec_id for r in rows])
+        V = np.array([r.embedding for r in rows], dtype=np.float64)
+        dsub = V.shape[1] // m
+        C = V[:n_cent].copy()
+        cnorm = np.linalg.norm(C, axis=1)
+        sims = (V @ C.T) / (np.linalg.norm(V, axis=1, keepdims=True) * cnorm)
+        A = np.argmax(sims, axis=1)
+        R = V - C[A]
+        max_cid = ids[:n_cent].max()
+        Rt = R[ids > max_cid]
+        Rs = Rt.reshape(len(Rt), m, dsub)
+        B = Rs[:K].transpose(1, 0, 2).copy()
+        for _ in range(train_iters):
+            S = (np.einsum("nmd,mkd->nmk", Rs, B)
+                 - 0.5 * np.einsum("mkd,mkd->mk", B, B)[None])
+            Ac = np.argmax(S, axis=2)
+            for mm in range(m):
+                for c in range(K):
+                    sel = Ac[:, mm] == c
+                    if sel.any():
+                        B[mm, c] = Rs[sel, mm].mean(axis=0)
+        Vs = R.reshape(len(V), m, dsub)
+        S = (np.einsum("nmd,mkd->nmk", Vs, B)
+             - 0.5 * np.einsum("mkd,mkd->mk", B, B)[None])
+        codes = np.argmax(S, axis=2)                    # (n, m)
+        recon = C[A] + np.stack(
+            [np.concatenate([B[mm, codes[i, mm]] for mm in range(m)])
+             for i in range(len(V))])
+        out = {}
+        for q in q_rows:
+            qv = np.array(q.embedding, dtype=np.float64)
+            probe = np.argsort(-(qv @ C.T) / (np.linalg.norm(qv) * cnorm),
+                               kind="stable")[:n_probe]
+            cand = [i for i in range(len(V))
+                    if A[i] in probe and ids[i] != q.query_id]
+            scored = sorted(
+                ((float(qv @ recon[i]
+                        / (np.linalg.norm(qv) * np.linalg.norm(recon[i]))),
+                  int(ids[i])) for i in cand),
+                key=lambda t: (-t[0], t[1]))
+            out[q.query_id] = scored[:k]
+        return out
+
+    def test_adc_scores_match_reconstruction_twin(self, emb_d, q5):
+        """The expression-chain ADC cosine IS the exact cosine of the
+        query against c + r̂ — checked against a from-scratch numpy
+        reconstruction, pair-for-pair and value-for-value."""
+        from logstash_integration_jdbc_spark.operators.similarity import (
+            ivf_pq_topk,
+        )
+
+        got = ivf_pq_topk(emb_d, q5, k=10, n_centroids=8, n_probe=4,
+                          n_subspaces=8, n_codes=16, train_iters=1).collect()
+        exp = self.numpy_ivf_pq(emb_d.collect(), q5.collect(), 10,
+                                n_cent=8, n_probe=4, m=8, K=16, train_iters=1)
+        by_q = {}
+        for r in sorted(got, key=lambda r: (r.query_id, r.rank)):
+            by_q.setdefault(r.query_id, []).append(r)
+        assert set(by_q) == set(exp)
+        for qid, rs in by_q.items():
+            assert [r.vec_id for r in rs] == [i for _, i in exp[qid]]
+            assert np.allclose([r.cosine for r in rs],
+                               [c for c, _ in exp[qid]], atol=1e-9)
+
+    def test_rerank_returns_exact_cosines_and_lifts_recall(self, emb_d, q5):
+        from logstash_integration_jdbc_spark.operators.similarity import (
+            ivf_pq_topk,
+        )
+
+        exact = numpy_topk(emb_d.collect(), q5.collect(), 10)
+        adc = ivf_pq_topk(emb_d, q5, k=10, n_centroids=8, n_probe=4,
+                          kmeans_iters=2, train_iters=1).collect()
+        rer = ivf_pq_topk(emb_d, q5, k=10, n_centroids=8, n_probe=4,
+                          kmeans_iters=2, train_iters=1,
+                          rerank_factor=5).collect()
+        vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+                for r in emb_d.collect()}
+
+        def recall(rows):
+            got = {}
+            for r in rows:
+                got.setdefault(r.query_id, set()).add(r.vec_id)
+            return sum(len(got[q] & set(exact[q])) / 10
+                       for q in exact) / len(exact)
+
+        for r in rer:
+            qv, cv = vecs[r.query_id], vecs[r.vec_id]
+            expect = float(np.dot(qv, cv)
+                           / (np.linalg.norm(qv) * np.linalg.norm(cv)))
+            assert abs(r.cosine - expect) < 1e-9
+        assert recall(rer) >= recall(adc) - 1e-9
+        assert recall(rer) >= 0.5
+
+    def test_code_bound_raises(self, emb_d, q5):
+        from logstash_integration_jdbc_spark.operators.similarity import (
+            ivf_pq_topk,
+        )
+
+        with pytest.raises(NotImplementedError, match="32 codes"):
+            ivf_pq_topk(emb_d, q5, n_codes=48)
+
+    def test_indivisible_dim_raises(self, emb_d, q5):
+        from logstash_integration_jdbc_spark.operators.similarity import (
+            ivf_pq_topk,
+        )
+
+        with pytest.raises(ValueError, match="not divisible"):
+            ivf_pq_topk(emb_d, q5, n_subspaces=7)
