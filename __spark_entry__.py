@@ -2815,7 +2815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     2. Entries green on recent consecutive boards rotate to the tail
        (positions 51+); they stay fully oracle-checked every round via
        ``tools/check_oracles.py`` (full-registry results in
-       COVERAGE.md — 129/129 OK end of r5) and rotate back into the
+       COVERAGE.md — 136/136 OK end of r5) and rotate back into the
        window in later rounds, least-recently-boarded first.
 
     Every entry keeps its oracle regardless of position — the cap is a
