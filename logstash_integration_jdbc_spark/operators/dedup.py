@@ -216,6 +216,11 @@ def minhash_signature_udf(num_hashes: int = 64):
             offsets = np.zeros(m, dtype=np.int64)
             np.cumsum(lens[nz][:-1], out=offsets[1:])
             out = np.empty((m, num_hashes), dtype=np.int64)
+            # NOTE (r6): a Mersenne-fold replacement for `% _P` was
+            # benchmarked and REVERTED — the loop is memory-bandwidth
+            # bound (3 passes over the flat vector per permutation), so
+            # trading one modulo pass for four cheap passes measured
+            # ~10% SLOWER. Kept as the minimal-pass form.
             for k in range(num_hashes):
                 out[:, k] = np.minimum.reduceat((hm * A[k] + B[k]) % _P, offsets)
             for j, i in enumerate(np.flatnonzero(nz)):
@@ -226,13 +231,27 @@ def minhash_signature_udf(num_hashes: int = 64):
     return _sig
 
 
-def _spread(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _spread(df: DataFrame, id_col: str, text_col: str,
+            force: bool = False) -> DataFrame:
     """Null-safe (id, text) projection spread across all cores — the
     shingle/signature stages must not run in the source's 1-2
-    file-partitions (measured ~70% slower at sf0.1)."""
-    return df.select(
+    file-partitions (measured ~70% slower at sf0.1).
+
+    The repartition is skipped when the input already carries at least
+    ``defaultParallelism`` partitions (guide §2.4: a repartition added
+    "for parallelism" is a pure extra exchange when the scan is already
+    parallel — measured ~0.45 s of the 1M-doc minhash wall). ``force``
+    keeps it unconditional for consumers whose DOWNSTREAM plan relies on
+    the id-hash partitioning itself (``winnow_anchors``: the per-id
+    window sort would otherwise exchange the token-EXPLODED rows, ~40×
+    the text bytes)."""
+    out = df.select(
         F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
-    ).repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    )
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if force or out.rdd.getNumPartitions() < n:
+        out = out.repartition(n, F.col(id_col))
+    return out
 
 
 def _shingled(src: DataFrame, id_col: str, text_col: str,
@@ -268,14 +287,22 @@ def minhash_band_buckets(
     base = _shingled(_spread(df, id_col, text_col), id_col, text_col,
                      n_shingle).withColumn(
         "__sig", minhash_signature_udf(num_hashes)(F.col("__sh")))
+    # Band key = xxhash64 over the band's signature values as BIGINTs
+    # (guide §2.3 "narrower types" / §4: the previous concat_ws form
+    # stringified all num_hashes values and string-hashed per band —
+    # measured +3.1 s of the 1M-doc pipeline's 5.4 s pre-exchange wall;
+    # the numeric form is one codegen'd hash of r longs). Equal band
+    # slices still hash equal, so no true candidate is ever lost; hash
+    # collisions only ADD candidates, which the exact-jaccard verify
+    # filters — downstream ≥-threshold outputs are unchanged.
     return base.select(
         id_col,
         F.posexplode(
             F.array(*[
-                F.xxhash64(F.concat_ws(",", *[
-                    F.col("__sig")[b * rows_per_band + r].cast("string")
+                F.xxhash64(*[
+                    F.col("__sig")[b * rows_per_band + r]
                     for r in range(rows_per_band)
-                ]))
+                ])
                 for b in range(bands)
             ])
         ).alias("__band", "__bucket"),
@@ -436,7 +463,7 @@ def winnow_anchors(df: DataFrame, id_col: str = "doc_id",
     from pyspark.sql import Window
 
     L, W = min_tokens, window
-    src = _spread(df, id_col, text_col)
+    src = _spread(df, id_col, text_col, force=True)
     toks = src.select(
         F.col(id_col),
         F.posexplode(token_hashes(F.col(text_col))).alias("__pos", "__t"),

@@ -720,3 +720,44 @@ def test_semantic_dedup_cluster_guard(spark):
                                "vec_id long, embedding array<double>")
     with _pytest.raises(Exception, match="max_cluster_rows"):
         semantic_dedup(df, n_clusters=1, max_cluster_rows=5).collect()
+
+
+def test_band_bucket_is_numeric_hash_of_band_slice(docs, spark):
+    """r6 optimization pin: the band bucket is xxhash64 over the band's
+    signature values as BIGINTs (no string concat). Equal band slices
+    must keep hashing equal, and the value must match the JVM xxhash64
+    of the same longs."""
+    from logstash_integration_jdbc_spark.operators.dedup import (
+        _shingled,
+        _spread,
+        minhash_band_buckets,
+        minhash_signature_udf,
+    )
+
+    sig = (_shingled(_spread(docs, "doc_id", "text"), "doc_id", "text", 3)
+           .withColumn("__sig", minhash_signature_udf(64)(F.col("__sh")))
+           .select("doc_id", "__sig"))
+    expected = sig.select(
+        "doc_id",
+        *[F.xxhash64(*[F.col("__sig")[b * 4 + r] for r in range(4)]).alias(f"b{b}")
+          for b in range(16)]).collect()
+    got = {(r["doc_id"], r["__band"]): r["__bucket"]
+           for r in minhash_band_buckets(docs, num_hashes=64, bands=16).collect()}
+    for row in expected:
+        for b in range(16):
+            assert got[(row["doc_id"], b)] == row[f"b{b}"]
+
+
+def test_spread_skips_repartition_when_already_parallel(spark):
+    from logstash_integration_jdbc_spark.operators.dedup import _spread
+
+    n = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 10000, numPartitions=n).select(
+        F.col("id").alias("doc_id"), F.lit("t").alias("text"))
+    narrow = spark.range(0, 10000, numPartitions=1).select(
+        F.col("id").alias("doc_id"), F.lit("t").alias("text"))
+    assert "Exchange" not in _spread(wide, "doc_id", "text")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert _spread(narrow, "doc_id", "text").rdd.getNumPartitions() == n
+    assert "Exchange" in _spread(wide, "doc_id", "text", force=True)._jdf.queryExecution(
+    ).executedPlan().toString()

@@ -184,3 +184,30 @@ def test_iceberg_catalog_table_end_to_end(tmp_path):
         assert (tmp_path / "wh" / "db" / "sinks" / "metadata").exists()
     finally:
         spark.stop()
+
+
+def test_salted_repartition_with_key_false_spreads_and_bounds_files(
+        spark, tmp_path, transcripts):
+    # r6 optimization: the router's write exchange keys on
+    # (partition dirs, salt) WITHOUT the raw conv_id column, so each
+    # reduce task holds whole (dir, salt) groups → every partition dir
+    # gets at most n_salts files instead of O(tasks) files.
+    df = transcripts.limit(4000).withColumn("tags", F.array().cast("array<string>"))
+    r = Router([Route("all", F.lit(True))], default_sink=None)
+    n_salts = 4
+    counts = r.write_all(df, str(tmp_path), n_salts=n_salts)
+    assert counts["all"] == 4000
+    base = tmp_path / "sink=all"
+    for hour_dir in os.listdir(base):
+        files = [f for f in os.listdir(base / hour_dir)
+                 if f.endswith(".parquet")]
+        assert 0 < len(files) <= n_salts, (hour_dir, files)
+    # the hot-key spread is preserved: the salt still derives from the
+    # key + row columns, so one hot conv_id spans several salts
+    hot = df.withColumn("conv_id", F.lit("hot"))
+    out = salted_repartition(hot, "conv_id", n_salts=8, num_partitions=8,
+                             with_key=False)
+    sizes = [r2.n for r2 in out.groupBy(F.spark_partition_id().alias("p"))
+             .agg(F.count(F.lit(1)).alias("n")).collect()]
+    assert len([s for s in sizes if s > 0]) >= 4
+    assert max(sizes) < 4000 * 0.5
