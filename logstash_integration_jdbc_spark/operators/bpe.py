@@ -35,7 +35,7 @@ different merges.
 
 from __future__ import annotations
 
-from typing import Iterable
+from typing import Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -234,13 +234,16 @@ def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
                text_col: str = "text",
                out_col: str = "bpe_tokens") -> DataFrame:
     """Encode a corpus with a learned merge list — one Arrow-batched
-    map pass, per-batch word memoization (Zipf ⇒ high hit rate)."""
+    map pass, per-TASK word memoization (iterator form, guide §4.5:
+    the cache persists across every batch in a partition; Zipf ⇒ the
+    long tail still hits after the first few batches)."""
     ranks = {pair: i for i, pair in enumerate(merges)}
 
     @F.pandas_udf(ArrayType(StringType()))
-    def _encode(s: pd.Series) -> pd.Series:
+    def _encode(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         cache: dict[str, list[str]] = {}
-        return s.map(lambda t: encode_text(t, ranks, cache))
+        for s in batches:
+            yield s.map(lambda t: encode_text(t, ranks, cache))
 
     return df.withColumn(out_col, _encode(F.col(text_col)))
 
@@ -249,8 +252,36 @@ def bpe_token_count(df: DataFrame, merges: list[tuple[str, str]],
                     text_col: str = "text",
                     out_col: str = "bpe_len") -> DataFrame:
     """Learned-vocabulary token counts (the budget input
-    ``pack_sequences`` wants)."""
-    tmp = "__bpe_tokens_tmp"
-    return (bpe_encode(df, merges, text_col, tmp)
-            .withColumn(out_col, F.size(F.col(tmp)).cast("bigint"))
-            .drop(tmp))
+    ``pack_sequences`` wants).
+
+    Count-only kernel: per word it memoizes len(encode_word(...)) and
+    returns one long per row — the token STRINGS are never concatenated
+    into per-row arrays nor shipped back over Arrow (guide §4.1: control
+    how many bytes cross the boundary). Values are by construction
+    size(bpe_encode(...)), pinned by test_bpe."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @F.pandas_udf("long")
+    def _count(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from ..functions.xxhash import spark_ws_tokens
+
+        cache: dict[str, int] = {}
+
+        def doc_len(text) -> int:
+            if text is None:
+                return 0
+            total = 0
+            for word in spark_ws_tokens(text):
+                if not word:
+                    continue
+                n = cache.get(word)
+                if n is None:
+                    n = len(encode_word(word, ranks))
+                    cache[word] = n
+                total += n
+            return total
+
+        for s in batches:
+            yield s.map(doc_len)
+
+    return df.withColumn(out_col, _count(F.col(text_col)))

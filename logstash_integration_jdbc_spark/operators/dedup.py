@@ -231,6 +231,105 @@ def minhash_signature_udf(num_hashes: int = 64):
     return _sig
 
 
+_BUCKET_UDFS: dict[tuple[int, int], object] = {}
+
+
+def minhash_band_bucket_udf(num_hashes: int = 64, bands: int = 16):
+    """Arrow pandas UDF: shingle-hash array → per-band LSH bucket keys.
+
+    Fuses ``minhash_signature_udf`` with the band hashing (guide §4.1:
+    control what crosses the Python boundary): the (rows × num_hashes)
+    signature matrix stays numpy-local and only ``bands`` bucket longs
+    per doc return over Arrow — ¼ of the bytes at 64/16. The bucket
+    value is SPARK-PARITY ``xxhash64`` over the band's signature values
+    as BIGINTs — the chained 8-byte XXH64 (running seed from 42) that
+    ``F.xxhash64(sig[i], ..., sig[i+r-1])`` computes, vectorized with
+    numpy uint64 wraparound arithmetic; parity is pinned against the
+    JVM expression in test_dedup. Rows with null/empty shingles emit
+    the all-null-input value (the seed, 42) for every band, matching
+    the JVM's skip-null fold over an all-null signature.
+    """
+    key = (num_hashes, bands)
+    if key in _BUCKET_UDFS:
+        return _BUCKET_UDFS[key]
+
+    import numpy as np
+
+    coeffs = _perm_coeffs(num_hashes)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)
+    B = np.array([b for _, b in coeffs], dtype=np.int64)
+    rows_per_band = num_hashes // bands
+
+    _P1 = np.uint64(11400714785074694791)
+    _P2 = np.uint64(14029467366897019727)
+    _P3 = np.uint64(1609587929392839161)
+    _P4 = np.uint64(9650029242287828579)
+    _P5 = np.uint64(2870177450012600261)
+
+    def _rotl(x, r):
+        r = np.uint64(r)
+        return (x << r) | (x >> (np.uint64(64) - r))
+
+    def _xxh64_long(k_i64, seed_u64):
+        # XXH64 of one LongType value (8 little-endian bytes) with a
+        # vector of running seeds — Spark's XXH64.hashLong, vectorized.
+        k = k_i64.astype(np.uint64)
+        h = seed_u64 + _P5 + np.uint64(8)
+        h = h ^ (_rotl(k * _P2, 31) * _P1)
+        h = _rotl(h, 27) * _P1 + _P4
+        h ^= h >> np.uint64(33)
+        h *= _P2
+        h ^= h >> np.uint64(29)
+        h *= _P3
+        h ^= h >> np.uint64(32)
+        return h
+
+    @pandas_udf("array<bigint>")
+    def _buckets(sh: pd.Series) -> pd.Series:
+        n = len(sh)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        lens = np.fromiter((0 if x is None else len(x) for x in sh),
+                           dtype=np.int64, count=n)
+        nz = lens > 0
+        result: list = [None] * n
+        null_buckets = [42] * bands  # xxhash64 over all-null = seed
+        for i in np.flatnonzero(~nz):
+            result[i] = null_buckets
+        if nz.any():
+            flat = np.concatenate(
+                [np.asarray(x, dtype=np.int64) for x in sh if x is not None and len(x)]
+            )
+            hm = flat % _P
+            m = int(nz.sum())
+            offsets = np.zeros(m, dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=offsets[1:])
+            sig = np.empty((m, num_hashes), dtype=np.int64)
+            for k in range(num_hashes):
+                sig[:, k] = np.minimum.reduceat((hm * A[k] + B[k]) % _P, offsets)
+            buckets = np.empty((m, bands), dtype=np.int64)
+            with np.errstate(over="ignore"):
+                for b in range(bands):
+                    h = np.full(m, 42, dtype=np.uint64)
+                    for r in range(rows_per_band):
+                        h = _xxh64_long(sig[:, b * rows_per_band + r], h)
+                    buckets[:, b] = h.astype(np.int64)
+            for j, i in enumerate(np.flatnonzero(nz)):
+                result[i] = buckets[j]
+        return pd.Series(result)
+
+    # Optimizer fence (guide §4.4): without this, the plan duplicates
+    # the ArrowEvalPython below the spread exchange with the WHOLE
+    # shingle pipeline inlined into the UDF argument — the inlined
+    # higher-order form re-evaluates the token-hash array per element
+    # (O(words²), the exact trap the gram_hashes docstring documents)
+    # and ran 5× slower at 1M docs. The function is semantically
+    # deterministic; the flag only blocks re-ordering/duplication.
+    _buckets = _buckets.asNondeterministic()
+    _BUCKET_UDFS[key] = _buckets
+    return _buckets
+
+
 def _spread(df: DataFrame, id_col: str, text_col: str,
             force: bool = False) -> DataFrame:
     """Null-safe (id, text) projection spread across all cores — the
@@ -283,29 +382,22 @@ def minhash_band_buckets(
     to inspect when a corpus degenerates the banding) can reuse the
     exact production lineage.
     """
-    rows_per_band = num_hashes // bands
+    # Band key = xxhash64 over the band's signature values as BIGINTs,
+    # computed INSIDE the Arrow kernel (minhash_band_bucket_udf): the
+    # r5 concat_ws form stringified all num_hashes values and
+    # string-hashed per band (measured +3.1 s of the 1M-doc 5.4 s
+    # pre-exchange wall); the fused numeric form also returns only
+    # ``bands`` longs per doc over Arrow instead of the full signature.
+    # Equal band slices still hash equal, so no true candidate is ever
+    # lost; hash collisions only ADD candidates, which the
+    # exact-jaccard verify filters — downstream ≥-threshold outputs are
+    # unchanged (verified vs brute-force jaccard at sf0.01/sf0.1).
     base = _shingled(_spread(df, id_col, text_col), id_col, text_col,
                      n_shingle).withColumn(
-        "__sig", minhash_signature_udf(num_hashes)(F.col("__sh")))
-    # Band key = xxhash64 over the band's signature values as BIGINTs
-    # (guide §2.3 "narrower types" / §4: the previous concat_ws form
-    # stringified all num_hashes values and string-hashed per band —
-    # measured +3.1 s of the 1M-doc pipeline's 5.4 s pre-exchange wall;
-    # the numeric form is one codegen'd hash of r longs). Equal band
-    # slices still hash equal, so no true candidate is ever lost; hash
-    # collisions only ADD candidates, which the exact-jaccard verify
-    # filters — downstream ≥-threshold outputs are unchanged.
+        "__bk", minhash_band_bucket_udf(num_hashes, bands)(F.col("__sh")))
     return base.select(
         id_col,
-        F.posexplode(
-            F.array(*[
-                F.xxhash64(*[
-                    F.col("__sig")[b * rows_per_band + r]
-                    for r in range(rows_per_band)
-                ])
-                for b in range(bands)
-            ])
-        ).alias("__band", "__bucket"),
+        F.posexplode("__bk").alias("__band", "__bucket"),
     )
 
 
@@ -699,11 +791,19 @@ def exact_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
 
     # row → B replicas, one per tile pair it participates in; its own
     # block id rides along so the kernel can split the two sides
+    proj = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("__b"),
+    )
+    # single-row-group inputs scan as one task; spread BEFORE the ×B
+    # explode so the replication and shuffle write parallelize (and the
+    # exchange carries 1/B of the exploded bytes). No-op on
+    # well-partitioned inputs.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if proj.rdd.getNumPartitions() < par:
+        proj = proj.repartition(par, F.col("__id"))
     tiles = (
-        df.select(
-            F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("__b"),
-        )
+        proj
         .withColumn("__j", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))))
         .withColumn("__lo", F.least("__b", "__j"))
         .withColumn("__hi", F.greatest("__b", "__j"))
@@ -712,33 +812,48 @@ def exact_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
     def kernel(key, pdf):
         import pandas as pd
 
+        def normed(side):
+            ids = side["__id"].to_numpy(dtype=np.int64)
+            M = np.stack(side["__v"].map(lambda v: np.asarray(v, dtype=np.float64)))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                M /= np.linalg.norm(M, axis=1)[:, None]  # zero-norm → nan row,
+            return ids, M                                # all comparisons False
+
         lo, hi = key
         if lo == hi:
-            ids_a = pdf["__id"].to_numpy(dtype=np.int64)
-            A = np.stack(pdf["__v"].map(lambda v: np.asarray(v, dtype=np.float64)))
+            ids_a, A = normed(pdf)
             ids_b, B = ids_a, A
-            na = np.linalg.norm(A, axis=1)
-            nb = na
         else:
             a_side = pdf[pdf["__b"] == lo]
             b_side = pdf[pdf["__b"] == hi]
             if a_side.empty or b_side.empty:
                 return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                                      "id_b": pd.Series(dtype="int64")})
-            ids_a = a_side["__id"].to_numpy(dtype=np.int64)
-            A = np.stack(a_side["__v"].map(lambda v: np.asarray(v, dtype=np.float64)))
-            ids_b = b_side["__id"].to_numpy(dtype=np.int64)
-            B = np.stack(b_side["__v"].map(lambda v: np.asarray(v, dtype=np.float64)))
-            na = np.linalg.norm(A, axis=1)
-            nb = np.linalg.norm(B, axis=1)
-        C = (A @ B.T) / np.outer(na, nb)
-        ii, jj = np.nonzero(C >= margin)
-        if lo == hi:
-            keep = ids_a[ii] < ids_b[jj]
-            ii, jj = ii[keep], jj[keep]
+            ids_a, A = normed(a_side)
+            ids_b, B = normed(b_side)
+        # Rows are unit-normalized BEFORE the matmul so the kernel never
+        # materializes the tile-sized np.outer(norms) + division (3 full
+        # tile² arrays → memory-bandwidth thrash with one task per core;
+        # measured 16-41 s/rep tails at 40k vectors), and the matmul runs
+        # in row chunks to bound per-task live memory at ~chunk × tile.
+        # Float error vs the divide-after form is ~1e-13, absorbed by the
+        # 1e-9 margin; survivors are re-verified exactly below, so output
+        # is unchanged.
+        Bt = np.ascontiguousarray(B.T)
+        out_a, out_b = [], []
+        step = 2048
+        for s in range(0, len(A), step):
+            C = A[s:s + step] @ Bt
+            ii, jj = np.nonzero(C >= margin)
+            ii += s
+            if lo == hi:
+                keep = ids_a[ii] < ids_b[jj]
+                ii, jj = ii[keep], jj[keep]
+            out_a.append(np.minimum(ids_a[ii], ids_b[jj]))
+            out_b.append(np.maximum(ids_a[ii], ids_b[jj]))
         return pd.DataFrame({
-            "id_a": np.minimum(ids_a[ii], ids_b[jj]),
-            "id_b": np.maximum(ids_a[ii], ids_b[jj]),
+            "id_a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
+            "id_b": np.concatenate(out_b) if out_b else np.array([], dtype=np.int64),
         })
 
     cand = (

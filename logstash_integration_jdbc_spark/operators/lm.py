@@ -64,8 +64,14 @@ def bigram_model(df: DataFrame, id_col: str = "doc_id",
     bg = doc_bigrams(df, id_col, text_col)
     bigram_counts = bg.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("n_bg"))
-    context_counts = bg.groupBy("w1").agg(
-        F.count(F.lit(1)).alias("n_ctx"))
+    # n_ctx (bigrams with left-context w1) == Σ_w2 n_bg, so derive it
+    # from the bigram table instead of re-tokenizing the corpus: this
+    # removes one full scan+tokenize+explode pass AND its corpus-sized
+    # exchange — the derivation aggregates the (vocab²-bounded) bigram
+    # counts, whose exchange the scoring join reuses (guide §2.4).
+    # Values are identical (integer counts, order-independent).
+    context_counts = bigram_counts.groupBy("w1").agg(
+        F.sum("n_bg").alias("n_ctx"))
     toks = tokens_expr(F.col(text_col))
     vocab = (df.select(F.explode(toks).alias("term"))
              .agg(F.countDistinct("term").alias("vocab_size")))

@@ -124,3 +124,27 @@ def test_merges_round_trip(spark):
     merges = bpe.train_bpe_from_counts(SENNRICH, 5)
     df = bpe.merges_df(spark, merges)
     assert bpe.load_merges(df) == merges
+
+
+def test_token_count_equals_encode_size(spark):
+    # r6: bpe_token_count uses a count-only kernel (no token arrays over
+    # Arrow); it must stay exactly size(bpe_encode(...)) per row.
+    from pyspark.sql import functions as F
+
+    from logstash_integration_jdbc_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["low lower lowest", "newer new news", "", None,
+             "low low low newer", "a b a b a b"])],
+        "doc_id long, text string")
+    merges = bpe.train_bpe(docs, 20)
+    counted = {r["doc_id"]: r["bpe_len"]
+               for r in bpe.bpe_token_count(docs, merges).collect()}
+    sized = {r["doc_id"]: r["n"]
+             for r in bpe.bpe_encode(docs, merges).select(
+                 "doc_id", F.size("bpe_tokens").cast("bigint").alias("n")).collect()}
+    # size() of a null-input row is -1 under non-ANSI; the count kernel
+    # returns 0 for null text — normalize nulls for the comparison
+    sized = {k: max(v, 0) for k, v in sized.items()}
+    assert counted == sized

@@ -761,3 +761,17 @@ def test_spread_skips_repartition_when_already_parallel(spark):
     assert _spread(narrow, "doc_id", "text").rdd.getNumPartitions() == n
     assert "Exchange" in _spread(wide, "doc_id", "text", force=True)._jdf.queryExecution(
     ).executedPlan().toString()
+
+
+def test_band_bucket_udf_evaluated_once(docs, spark):
+    # guide §4.4 regression pin: the fused bucket UDF must appear as
+    # exactly ONE ArrowEvalPython node — the optimizer once duplicated
+    # it below the spread exchange with the shingle pipeline inlined
+    # (O(words²) interpreted evaluation, 5× slower at 1M docs).
+    from logstash_integration_jdbc_spark.operators.dedup import (
+        minhash_band_buckets,
+    )
+
+    plan = minhash_band_buckets(docs, num_hashes=64, bands=16)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
