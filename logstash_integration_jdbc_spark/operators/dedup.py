@@ -518,14 +518,121 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.8,
 
 # -- exact-substring duplication (winnowed anchors) ------------------------
 
+_WINNOW_UDFS: dict[tuple[int, int], object] = {}
+
+
+def winnow_anchor_udf(min_tokens: int = 10, window: int = 4):
+    """Arrow pandas UDF: token-hash array → distinct winnow anchors.
+
+    The fused form of ``winnow_anchors_expr`` (guide §1.2 step 2 /
+    §4.2): positional gram hashes are the Spark-parity chained XXH64
+    over ``min_tokens`` consecutive token hashes (the exact values
+    ``xxhash64(t, lead(t,1), …)`` computes — same vectorized kernel as
+    ``minhash_band_bucket_udf``, parity pinned in test_xxhash /
+    test_dedup), the winnow minimum is a shifted ``np.minimum`` ladder
+    over the batch-flattened gram vector with INT64_MAX sentinels at
+    doc tails (each doc's ≥ min_tokens−1 ≥ window−1 invalid tail
+    positions stop any window from reading the next doc's grams), and
+    per-doc anchors deduplicate with ``np.unique``. Replaces one 40×
+    token-exploded sort + three window passes + a dropDuplicates
+    exchange with a map-only kernel.
+    """
+    key = (min_tokens, window)
+    if key in _WINNOW_UDFS:
+        return _WINNOW_UDFS[key]
+
+    import numpy as np
+
+    L, W = min_tokens, window
+    _MAX = np.int64(np.iinfo(np.int64).max)
+
+    _P1 = np.uint64(11400714785074694791)
+    _P2 = np.uint64(14029467366897019727)
+    _P3 = np.uint64(1609587929392839161)
+    _P4 = np.uint64(9650029242287828579)
+    _P5 = np.uint64(2870177450012600261)
+
+    def _rotl(x, r):
+        r = np.uint64(r)
+        return (x << r) | (x >> (np.uint64(64) - r))
+
+    def _xxh64_long(k_u64, seed_u64):
+        h = seed_u64 + _P5 + np.uint64(8)
+        h = h ^ (_rotl(k_u64 * _P2, 31) * _P1)
+        h = _rotl(h, 27) * _P1 + _P4
+        h ^= h >> np.uint64(33)
+        h *= _P2
+        h ^= h >> np.uint64(29)
+        h *= _P3
+        h ^= h >> np.uint64(32)
+        return h
+
+    @pandas_udf("array<bigint>")
+    def _anchors(th: pd.Series) -> pd.Series:
+        n = len(th)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        lens = np.fromiter((0 if x is None else len(x) for x in th),
+                           dtype=np.int64, count=n)
+        result: list = [[]] * n
+        nz = lens > 0
+        if not nz.any():
+            return pd.Series(result)
+        flat = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in th if x is not None and len(x)]
+        )
+        N = len(flat)
+        nzlens = lens[nz]
+        starts = np.zeros(len(nzlens), dtype=np.int64)
+        np.cumsum(nzlens[:-1], out=starts[1:])
+        # positional gram hashes: chained XXH64 over L consecutive
+        # token hashes, one vector pass per chain step (doc tails
+        # produce garbage values that the validity mask below discards)
+        with np.errstate(over="ignore"):
+            pad = np.concatenate(
+                [flat.astype(np.uint64), np.zeros(L - 1, dtype=np.uint64)])
+            h = np.full(N, 42, dtype=np.uint64)
+            for j in range(L):
+                h = _xxh64_long(pad[j:j + N], h)
+        g = h.astype(np.int64)
+        # gram validity: token position p of doc d is a gram iff
+        # p <= len_d - L; invalid positions become +inf sentinels
+        pos = np.arange(N, dtype=np.int64) - np.repeat(starts, nzlens)
+        doc_len = np.repeat(nzlens, nzlens)
+        ga = np.where(pos <= doc_len - L, g, _MAX)
+        # winnow minimum of each W consecutive gram positions
+        wpad = np.concatenate([ga, np.full(W - 1, _MAX, dtype=np.int64)])
+        m = ga
+        for j in range(1, W):
+            m = np.minimum(m, wpad[j:j + N])
+        # anchor positions: full windows, plus the pos-0 window of docs
+        # with 1..W-1 grams (it spans all their grams)
+        gc = np.maximum(doc_len - L + 1, 0)
+        sel = (pos <= gc - W) | ((gc > 0) & (gc < W) & (pos == 0))
+        ends = starts + nzlens
+        for j, i in enumerate(np.flatnonzero(nz)):
+            s, e = starts[j], ends[j]
+            picked = m[s:e][sel[s:e]]
+            if len(picked):
+                result[i] = np.unique(picked)
+        return pd.Series(result)
+
+    # same optimizer fence as minhash_band_bucket_udf (guide §4.4)
+    _anchors = _anchors.asNondeterministic()
+    _WINNOW_UDFS[key] = _anchors
+    return _anchors
+
+
 def winnow_anchors(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", min_tokens: int = 10,
                    window: int = 4) -> DataFrame:
     """(id, __anchor) winnowing fingerprints for exact-substring
-    detection: positional ``min_tokens``-token gram hashes (staged
-    token→gram xxhash64, POSITIONAL — no distinct, order preserved),
-    then classic winnowing — the minimum gram hash of every ``window``
-    consecutive positions, deduplicated.
+    detection — kernel form: JVM-side token hashing feeds
+    ``winnow_anchor_udf`` (chained-XXH64 gram hashes + shifted-minimum
+    winnowing + per-doc dedup, all numpy), whose anchor arrays explode
+    to rows. Identical output to ``winnow_anchors_expr`` (pinned by
+    test_dedup); the window/sort formulation survives there as the
+    semantic reference.
 
     Guarantee (Schleimer/Wilkerson/Aiken winnowing): two documents
     sharing an exact token run of length ≥ ``min_tokens + window - 1``
@@ -533,22 +640,35 @@ def winnow_anchors(df: DataFrame, id_col: str = "doc_id",
     [min_tokens, min_tokens+window-2] may or may not anchor. Anchor
     density is ~2/(window+1) of gram positions, so the pair exchange
     carries a fraction of the corpus token count. Docs shorter than
-    ``min_tokens`` tokens have no gram, hence no anchors (they cannot
-    contain a min_tokens-token substring); docs with fewer than
-    ``window`` grams contribute their single minimum gram.
+    ``min_tokens`` tokens have no gram, hence no anchors; docs with
+    fewer than ``window`` grams contribute their single minimum gram.
+    """
+    if min_tokens < 2 or window < 1:
+        raise ValueError("min_tokens must be >= 2 and window >= 1")
+    src = _spread(df, id_col, text_col)
+    return src.select(
+        F.col(id_col),
+        F.explode(
+            winnow_anchor_udf(min_tokens, window)(token_hashes(F.col(text_col)))
+        ).alias("__anchor"),
+    )
 
-    Plan: NO higher-order functions — an array formulation
-    (transform over sequence + array_min of slices) was measured 40×
-    slower end-to-end because projection collapse inlines the gram
-    array into the window transform, re-evaluating the whole gram
-    pipeline per window element (186 s → 6 s at 1000 docs for this
-    form). Instead token hashes posexplode once per doc and everything
-    downstream evaluates as compiled row expressions: gram hash =
+
+def winnow_anchors_expr(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", min_tokens: int = 10,
+                        window: int = 4) -> DataFrame:
+    """Window/sort reference formulation of ``winnow_anchors``.
+
+    Plan notes (kept for the record): NO higher-order functions — an
+    array formulation (transform over sequence + array_min of slices)
+    was measured 40× slower end-to-end because projection collapse
+    inlines the gram array into the window transform, re-evaluating the
+    whole gram pipeline per window element (186 s → 6 s at 1000 docs).
+    Token hashes posexplode once per doc; gram hash =
     ``xxhash64(t, lead(t,1), …, lead(t,L-1))``, winnow min = windowed
-    ``min`` over the next ``window`` gram rows. All three window
-    functions share one (id, pos) sort, and the sort's hash partition
-    comes free from ``_spread``'s repartition — one exchange total
-    before the anchor join.
+    ``min`` over the next ``window`` gram rows; all three window
+    functions share one (id, pos) sort whose hash partition comes from
+    ``_spread``'s forced repartition.
     """
     if min_tokens < 2 or window < 1:
         raise ValueError("min_tokens must be >= 2 and window >= 1")

@@ -775,3 +775,25 @@ def test_band_bucket_udf_evaluated_once(docs, spark):
     plan = minhash_band_buckets(docs, num_hashes=64, bands=16)._jdf \
         .queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_winnow_kernel_matches_window_reference(spark):
+    # r6: winnow_anchors moved to a fused Arrow kernel; it must produce
+    # exactly the window/sort reference's (id, anchor) set — including
+    # short docs (no grams), few-gram docs (single min), dup anchors.
+    from logstash_integration_jdbc_spark.operators.dedup import (
+        winnow_anchors,
+        winnow_anchors_expr,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    texts = [(200001, "short doc"), (200002, " ".join(["tok"] * 10)),
+             (200003, " ".join(f"w{i}" for i in range(11))),
+             (200004, " ".join(f"w{i % 3}" for i in range(40))),
+             (200005, None), (200006, "")]
+    extra = spark.createDataFrame(texts, "doc_id long, text string")
+    both = docs.select("doc_id", "text").unionByName(extra)
+    got = {(r["doc_id"], r["__anchor"]) for r in winnow_anchors(both).collect()}
+    want = {(r["doc_id"], r["__anchor"])
+            for r in winnow_anchors_expr(both).collect()}
+    assert got == want and len(got) > 0
