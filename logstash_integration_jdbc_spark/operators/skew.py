@@ -51,7 +51,18 @@ def salted_repartition(
     row_cols = [c for c in ("turn_idx", "ts") if c in df.columns]
     salt = salt_expr(key, n_salts, row_cols).alias("__salt")
     cols = [F.col(c) for c in extra_cols] + ([F.col(key)] if with_key else []) + [salt]
-    if num_partitions is None:
+    if num_partitions is None and not with_key:
+        # Without the key column the exchange has only dirs × salts
+        # distinct groups; at 1× cores a task drawing several of the
+        # big groups becomes the write straggler. 2× cores halves the
+        # group-per-task quantization and lets short tasks backfill
+        # (guide §2.6) — measured (interleaved A/B, 8M-row sink write):
+        # 1× 10.1 s / 2× 8.6 s / 4× 10.0 s; at 1M rows 1× wins by
+        # ~0.7 s but 2× is the only setting with no regression at
+        # either size. The per-dir FILE bound is unchanged
+        # (≤ n_salts: each (dir, salt) group lands in exactly one task).
+        num_partitions = 2 * df.sparkSession.sparkContext.defaultParallelism
+    elif num_partitions is None:
         # An explicit count pins the exchange: repartition(cols) without N
         # lets AQE rebalance to ~advisory-sized (64 MB) partitions, which
         # caps downstream stage parallelism at data-size/64MB tasks — on a
