@@ -124,7 +124,8 @@ def token_hashes(text_col: Column) -> Column:
     )
 
 
-def gram_hashes(th_col: Column, text_col: Column, n: int = 3) -> Column:
+def gram_hashes(th_col: Column, text_col: Column, n: int = 3,
+                distinct: bool = True) -> Column:
     """n-gram shingle hashes from PRE-MATERIALIZED token hashes:
     gram hash = xxhash64 over the n consecutive token hashes.
 
@@ -143,7 +144,11 @@ def gram_hashes(th_col: Column, text_col: Column, n: int = 3) -> Column:
                                for j in range(n)]),
     )
     grams = F.when(k > 0, grams).otherwise(F.array(F.xxhash64(text_col)))
-    return F.array_distinct(grams)
+    # distinct=False skips the per-row hash-set pass for consumers that
+    # only take the MIN over the grams (minhash signatures: min over a
+    # multiset == min over its set — bucket values verified identical).
+    # Jaccard consumers must keep distinct=True.
+    return F.array_distinct(grams) if distinct else grams
 
 
 # -- MinHash + LSH ---------------------------------------------------------
@@ -354,16 +359,18 @@ def _spread(df: DataFrame, id_col: str, text_col: str,
 
 
 def _shingled(src: DataFrame, id_col: str, text_col: str,
-              n_shingle: int) -> DataFrame:
+              n_shingle: int, distinct: bool = True) -> DataFrame:
     """(id, __sh) via the staged token-hash → gram-hash form (~8× faster
     than the reference shingle_hashes; see gram_hashes docstring). The
-    intermediate select MATERIALIZES __th — required, not style."""
+    intermediate select MATERIALIZES __th — required, not style.
+    ``distinct=False`` is the signature-only fast path (see
+    gram_hashes)."""
     return (
         src.select(F.col(id_col), F.col(text_col),
                    token_hashes(F.col(text_col)).alias("__th"))
         .select(F.col(id_col),
                 gram_hashes(F.col("__th"), F.col(text_col),
-                            n_shingle).alias("__sh"))
+                            n_shingle, distinct=distinct).alias("__sh"))
     )
 
 
@@ -393,7 +400,7 @@ def minhash_band_buckets(
     # exact-jaccard verify filters — downstream ≥-threshold outputs are
     # unchanged (verified vs brute-force jaccard at sf0.01/sf0.1).
     base = _shingled(_spread(df, id_col, text_col), id_col, text_col,
-                     n_shingle).withColumn(
+                     n_shingle, distinct=False).withColumn(
         "__bk", minhash_band_bucket_udf(num_hashes, bands)(F.col("__sh")))
     return base.select(
         id_col,
